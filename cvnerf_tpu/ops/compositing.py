@@ -1,0 +1,72 @@
+"""Volume rendering: alpha compositing of raw network outputs along rays.
+
+Parity target: reference ``main.py:170-204`` (``process_volume_info`` /
+``_alpha_composite``). One fused jnp function — XLA keeps the whole chain
+(deltas → sigmoid → noise → alpha → transmittance → weighted sums) on the VPU
+with no intermediate HBM round-trips at training batch sizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF_DIST = 1e10
+
+
+def volume_render(raw_rgba: jnp.ndarray,
+                  t_vals: jnp.ndarray,
+                  ray_dirs: jnp.ndarray,
+                  key: jax.Array | None = None,
+                  noise_std: float = 0.0,
+                  white_bkg: bool = False):
+    """Composite raw ``[..., n_samples, 4]`` network output into pixel RGB.
+
+    The exact reference math (``main.py:170-204``):
+      * ``delta_i = t_{i+1} - t_i`` with a terminal 1e10, scaled by ‖d‖ so
+        depths measured in ray-parameter units become metric distances.
+      * ``rgb = sigmoid(raw[..., :3])``.
+      * optional Gaussian noise added to raw density *before* the ReLU
+        (regularizer, reference ``main.py:186-191``).
+      * ``alpha = 1 - exp(-relu(sigma) * delta)``.
+      * transmittance ``T_i`` = exclusive cumprod of ``(1 - alpha + 1e-10)``.
+      * ``weights = alpha * T``; ``rgb_map = sum(weights * rgb)``.
+      * white background: ``rgb_map += 1 - sum(weights)``.
+
+    Args:
+        raw_rgba: ``[..., n_samples, 4]`` raw (rgb, sigma) from the MLP.
+        t_vals: ``[..., n_samples]`` sample depths along each ray.
+        ray_dirs: ``[..., 3]`` (unnormalized) ray directions.
+        key: PRNG key for density noise (required if ``noise_std > 0``).
+    Returns:
+        dict with ``rgb`` ``[..., 3]``, ``weights`` ``[..., n_samples]``,
+        ``acc`` ``[...]`` (accumulated opacity) and ``depth`` ``[...]``
+        (expected termination depth — an addition over the reference, used
+        for diagnostics).
+    """
+    deltas = t_vals[..., 1:] - t_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], INF_DIST)], axis=-1)
+    deltas = deltas * jnp.linalg.norm(ray_dirs[..., None, :], axis=-1)
+
+    rgb = jax.nn.sigmoid(raw_rgba[..., :3])
+    sigma = raw_rgba[..., 3]
+    if noise_std > 0.0:
+        sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * noise_std
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * deltas)
+    # Exclusive cumulative product: T_i = prod_{j<i} (1 - alpha_j + 1e-10).
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1),
+        axis=-1)[..., :-1]
+    weights = alpha * trans
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1)
+    depth = jnp.sum(weights * t_vals, axis=-1)
+
+    if white_bkg:
+        rgb_map = rgb_map + (1.0 - acc[..., None])
+
+    return {"rgb": rgb_map, "weights": weights, "acc": acc, "depth": depth}

@@ -1,0 +1,109 @@
+"""Stratified coarse sampling and inverse-CDF hierarchical sampling.
+
+Parity targets: reference ``main.py:221-234`` (stratified + midpoint-jitter
+perturbation) and ``utils.py:4-53`` (``inv_transform_sampling``). Everything
+is static-shape jnp — ``jnp.searchsorted`` and ``take_along_axis`` replace
+the reference's ``torch.searchsorted``/``gather``; no host chunking.
+
+RNG is explicit ``jax.random`` keys (the reference draws from an unseeded
+global torch RNG — ``main.py:233``, ``utils.py:23`` — so runs there are
+nondeterministic; here determinism is the default and a deterministic
+*midpoint/linspace* eval path is additionally available, mirroring the
+original NeRF's ``det`` flag which the reference dropped).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(key: jax.Array | None,
+                       near: jnp.ndarray, far: jnp.ndarray,
+                       n_samples: int, n_rays: int,
+                       perturb: bool) -> jnp.ndarray:
+    """Depths ``t`` of stratified coarse samples, ``[n_rays, n_samples]``.
+
+    Base grid is ``near·(1-s) + far·s`` for ``s = linspace(0, 1, n)``
+    (reference ``main.py:221-223``). With ``perturb``, each interior sample
+    jitters uniformly inside the bin bounded by neighboring midpoints
+    (reference ``main.py:227-234``).
+
+    Args:
+        key: PRNG key; required when ``perturb`` is True.
+        near, far: scalars or ``[n_rays]`` / ``[n_rays, 1]`` bounds.
+    """
+    s = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    near = jnp.broadcast_to(jnp.reshape(jnp.asarray(near, jnp.float32), (-1, 1)),
+                            (n_rays, 1))
+    far = jnp.broadcast_to(jnp.reshape(jnp.asarray(far, jnp.float32), (-1, 1)),
+                           (n_rays, 1))
+    t = near * (1.0 - s) + far * s  # [n_rays, n_samples]
+
+    if perturb:
+        mids = 0.5 * (t[..., 1:] + t[..., :-1])
+        upper = jnp.concatenate([mids, t[..., -1:]], axis=-1)
+        lower = jnp.concatenate([t[..., :1], mids], axis=-1)
+        u = jax.random.uniform(key, t.shape, dtype=t.dtype)
+        t = lower + (upper - lower) * u
+    return t
+
+
+def sample_pdf(key: jax.Array | None,
+               bins: jnp.ndarray, weights: jnp.ndarray,
+               n_samples: int, deterministic: bool = False) -> jnp.ndarray:
+    """Inverse-transform sampling from a piecewise-constant weight PDF.
+
+    Parity with reference ``utils.py:4-53``: ε=1e-5 smoothing, normalize to a
+    pdf, cumulative sum with a zero prepended, uniform draws, right-bisect
+    ``searchsorted``, clamped lower/upper bin indices, and linear rescale of
+    the uniform within its CDF bin with an ε-guard on degenerate bins.
+
+    Args:
+        bins: ``[n_rays, n_weights + 1]`` sample positions (coarse bin
+            midpoints at the call site, reference ``main.py:248``). One wider
+            than ``weights`` so it aligns with the zero-prepended CDF — the
+            same convention the reference relies on (its gather indexes
+            ``pts`` and ``cdf`` with identical indices, ``utils.py:44-47``).
+        weights: ``[n_rays, n_weights]`` unnormalized weights
+            (``weights[..., 1:-1]`` at the call site, reference
+            ``main.py:249``).
+        deterministic: replaces the uniform draws with an evenly spaced
+            ``linspace(0, 1, n)`` — the original NeRF's test-time ``det``
+            path, absent in the reference (SURVEY.md C8); off by default.
+    Returns:
+        ``[n_rays, n_samples]`` new sample positions. Callers should
+        ``lax.stop_gradient`` the result (the reference detaches,
+        ``main.py:250``).
+    """
+    eps = 1e-5
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    # cdf: [n_rays, n_bins + 1]
+
+    if deterministic:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+    else:
+        u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
+
+    # Right-bisection per ray: index of the first cdf entry > u.
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    upper = jnp.minimum(cdf.shape[-1] - 1, idx)
+    lower = jnp.maximum(0, idx - 1)
+
+    if bins.shape[-1] != cdf.shape[-1]:
+        raise ValueError(
+            f"bins must be one wider than weights: got bins[..., "
+            f"{bins.shape[-1]}] vs weights[..., {weights.shape[-1]}]")
+    cdf_lo = jnp.take_along_axis(cdf, lower, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, upper, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, lower, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, upper, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
+    frac = (u - cdf_lo) / denom
+    return bin_lo + frac * (bin_hi - bin_lo)

@@ -1,0 +1,114 @@
+"""Full-image and pose-sequence (spiral video) rendering.
+
+Parity targets: reference ``render`` with ``c2w=`` (``main.py:49-87``) and
+``render_full`` (``main.py:102-124``).
+
+TPU-first restructure: one jitted program renders a whole frame (ray grid →
+viewdir normalize → optional NDC → chunked hierarchical render → reshape);
+the pose loop stays on the host but runs *pipelined* — frame i+1's device
+computation is dispatched before frame i's result is pulled back, so PNG
+encode/IO overlaps device render (the reference renders strictly
+sequentially, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvnerf_tpu.ops.rays import ndc_rays, ray_grid
+from cvnerf_tpu.render.renderer import RenderConfig, render_rays_chunked
+
+
+@partial(jax.jit,
+         static_argnames=("height", "width", "cfg", "ndc", "ndc_variant",
+                          "chunk"))
+def render_image(key: jax.Array,
+                 params: dict,
+                 height: int,
+                 width: int,
+                 focal: float,
+                 c2w: jnp.ndarray,
+                 near: float,
+                 far: float,
+                 cfg: RenderConfig,
+                 ndc: bool = False,
+                 ndc_variant: str = "canonical",
+                 chunk: int = 32768) -> dict:
+    """Render one ``[H, W]`` frame from a camera pose.
+
+    Matches reference ``render(c2w=...)`` semantics (``main.py:49-87``):
+    viewdirs are normalized from the *pre-NDC* world directions, then rays
+    are optionally warped to NDC with ``near=1``.
+    """
+    rays_o, rays_d = ray_grid(height, width, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    if ndc:
+        rays_o, rays_d = ndc_rays(height, width, focal, 1.0, rays_o, rays_d,
+                                  variant=ndc_variant)
+
+    out = render_rays_chunked(key, params, rays_o, rays_d, viewdirs,
+                              near, far, cfg, chunk=chunk)
+    return jax.tree.map(
+        lambda x: x.reshape(height, width, *x.shape[1:]), out)
+
+
+def render_poses_to_frames(key: jax.Array,
+                           params: dict,
+                           poses,
+                           height: int,
+                           width: int,
+                           focal: float,
+                           near: float,
+                           far: float,
+                           cfg: RenderConfig,
+                           ndc: bool = False,
+                           ndc_variant: str = "canonical",
+                           chunk: int = 32768,
+                           factor: int = 0,
+                           on_frame: Callable[[int, np.ndarray], None] | None = None,
+                           ) -> np.ndarray:
+    """Render a pose sequence to ``[N, H, W, 3]`` uint8-ready float frames.
+
+    Reference parity: ``render_full`` (``main.py:102-124``), including the
+    optional ``factor`` downscale of H/W/focal (``main.py:105-108``).
+
+    Pipelining: each ``render_image`` call is dispatched asynchronously; the
+    host only blocks on frame i when converting it to numpy, by which point
+    frame i+1 is already executing on device. ``on_frame(i, rgb)`` (e.g. a
+    PNG writer) runs between dispatches, overlapping IO with device compute.
+    """
+    if factor:
+        height, width = height // factor, width // factor
+        focal = focal / factor
+
+    keys = jax.random.split(key, len(poses))
+    pending: list[tuple[int, dict]] = []
+    frames: list[np.ndarray | None] = [None] * len(poses)
+
+    def drain(entry):
+        i, out = entry
+        rgb = np.asarray(out["rgb"])  # blocks on this frame only
+        frames[i] = rgb
+        if on_frame is not None:
+            on_frame(i, rgb)
+
+    for i, pose in enumerate(poses):
+        c2w = jnp.asarray(pose)[:3, :4]
+        out = render_image(keys[i], params, height, width, float(focal), c2w,
+                           float(near), float(far), cfg, ndc=ndc,
+                           ndc_variant=ndc_variant, chunk=chunk)
+        pending.append((i, out))
+        if len(pending) > 1:  # keep one frame in flight
+            drain(pending.pop(0))
+
+    while pending:
+        drain(pending.pop(0))
+    return np.stack(frames, 0)

@@ -1,0 +1,137 @@
+"""Tests for the hierarchical volume renderer (render/renderer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig, init_nerf_params
+from cvnerf_tpu.render.renderer import (
+    RenderConfig,
+    render_rays,
+    render_rays_chunked,
+)
+
+
+def _tiny_setup(n_rays=8, seed=0):
+    cfg = RenderConfig(n_coarse=16, n_fine=8, perturb=False, noise_std=0.0,
+                       mlp=NerfMLPConfig())
+    kp = jax.random.PRNGKey(seed)
+    params = {
+        "coarse": init_nerf_params(jax.random.fold_in(kp, 0)),
+        "fine": init_nerf_params(jax.random.fold_in(kp, 1)),
+    }
+    kr = jax.random.PRNGKey(100 + seed)
+    rays_o = jax.random.normal(jax.random.fold_in(kr, 0), (n_rays, 3))
+    rays_d = jax.random.normal(jax.random.fold_in(kr, 1), (n_rays, 3))
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = jnp.full((n_rays,), 2.0)
+    far = jnp.full((n_rays,), 6.0)
+    return cfg, params, rays_o, rays_d, viewdirs, near, far
+
+
+def test_output_shapes():
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    out = render_rays(jax.random.PRNGKey(0), params, ro, rd, vd, near, far,
+                      cfg)
+    assert out["rgb"].shape == (8, 3)
+    assert out["rgb_coarse"].shape == (8, 3)
+    assert out["acc"].shape == (8,)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_deterministic_given_key():
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    cfg = RenderConfig(n_coarse=16, n_fine=8, perturb=True, noise_std=1.0,
+                       mlp=cfg.mlp)
+    a = render_rays(jax.random.PRNGKey(7), params, ro, rd, vd, near, far, cfg)
+    b = render_rays(jax.random.PRNGKey(7), params, ro, rd, vd, near, far, cfg)
+    c = render_rays(jax.random.PRNGKey(8), params, ro, rd, vd, near, far, cfg)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+    assert not np.allclose(np.asarray(a["rgb"]), np.asarray(c["rgb"]))
+
+
+def test_n_fine_zero_runs_fine_net_on_coarse_depths():
+    # Reference behavior (SURVEY.md §2.3-4): the fine pass runs even with
+    # n_fine == 0, re-evaluating the fine net on the coarse sample depths.
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    import dataclasses
+    cfg0 = dataclasses.replace(cfg, n_fine=0)
+    out = render_rays(jax.random.PRNGKey(0), params, ro, rd, vd, near, far,
+                      cfg0)
+    assert out["rgb"].shape == (8, 3)
+    # Coarse and fine maps differ because the nets are independent.
+    assert not np.allclose(np.asarray(out["rgb"]),
+                           np.asarray(out["rgb_coarse"]))
+
+
+def test_eval_mode_strips_stochasticity():
+    cfg = RenderConfig(perturb=True, noise_std=1.0)
+    ev = cfg.eval_mode()
+    assert ev.perturb is False and ev.noise_std == 0.0
+    assert ev.n_coarse == cfg.n_coarse
+
+
+def test_chunked_matches_unchunked():
+    cfg, params, ro, rd, vd, near, far = _tiny_setup(n_rays=20)
+    # Same key per chunk won't reproduce the single-call RNG stream, so test
+    # with all stochasticity off (perturb=False, noise=0, det resample).
+    import dataclasses
+    cfg = dataclasses.replace(cfg, deterministic_resample=True)
+    full = render_rays(jax.random.PRNGKey(0), params, ro, rd, vd, near, far,
+                       cfg)
+    chunked = render_rays_chunked(jax.random.PRNGKey(0), params, ro, rd, vd,
+                                  2.0, 6.0, cfg, chunk=8)
+    np.testing.assert_allclose(np.asarray(full["rgb"]),
+                               np.asarray(chunked["rgb"]), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_white_background():
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    import dataclasses
+    # With an untrained net, acc < 1 somewhere; white bkg must lift rgb.
+    cfg_w = dataclasses.replace(cfg, white_bkg=True)
+    out_b = render_rays(jax.random.PRNGKey(0), params, ro, rd, vd, near, far,
+                        cfg)
+    out_w = render_rays(jax.random.PRNGKey(0), params, ro, rd, vd, near, far,
+                        cfg_w)
+    diff = np.asarray(out_w["rgb"]) - np.asarray(out_b["rgb"])
+    acc = np.asarray(out_b["acc"])
+    np.testing.assert_allclose(
+        diff, np.repeat((1 - acc)[:, None], 3, axis=1), atol=1e-5)
+
+
+def test_gradients_flow_to_both_nets():
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    target = jnp.zeros((8, 3))
+
+    def loss(p):
+        out = render_rays(jax.random.PRNGKey(0), p, ro, rd, vd, near, far,
+                          cfg)
+        return (jnp.mean((out["rgb"] - target) ** 2)
+                + jnp.mean((out["rgb_coarse"] - target) ** 2))
+
+    g = jax.grad(loss)(params)
+    for net in ("coarse", "fine"):
+        total = sum(float(jnp.sum(jnp.abs(l["w"]))) for l in g[net].values())
+        assert total > 0, net
+        assert all(np.isfinite(np.asarray(l["w"])).all()
+                   for l in g[net].values()), net
+
+
+def test_resample_detached_from_coarse_grad():
+    # The importance-sample positions are stop_gradient'ed (reference
+    # main.py:250): with the coarse loss term removed, coarse grads must
+    # still exist (through the fine pass? no — only via resample, which is
+    # detached) → coarse grad is exactly zero.
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+
+    def fine_only_loss(p):
+        out = render_rays(jax.random.PRNGKey(0), p, ro, rd, vd, near, far,
+                          cfg)
+        return jnp.mean(out["rgb"] ** 2)
+
+    g = jax.grad(fine_only_loss)(params)
+    total_coarse = sum(float(jnp.sum(jnp.abs(l["w"])))
+                       for l in g["coarse"].values())
+    assert total_coarse == 0.0
