@@ -1,0 +1,194 @@
+"""The jitted train step and the host-side training loop.
+
+Parity target: the reference hot loop (``main.py:344-394``) — pick one random
+training image, sample ``n_rays`` pixels without replacement (center-crop
+grid during warm-up), render, ``MSE(fine) + MSE(coarse)``, Adam step,
+exponential LR decay.
+
+TPU-first restructure (SURVEY.md §7):
+  * The *entire* step — image choice, pixel sampling, ray generation, both
+    render passes, loss, backward, optimizer update — is one jitted program
+    with donated state. The host does nothing per-step but advance a Python
+    loop counter.
+  * Rays are generated only for the sampled pixels (O(n_rays), fixing the
+    reference's full H×W grid per step, SURVEY.md §2.3-7).
+  * RNG is an explicit key folded with the step number — bitwise reproducible
+    runs (the reference's torch RNG is unseeded).
+  * Ray arrays carry a mesh sharding constraint, so under a multi-chip mesh
+    XLA splits the MLP work across chips and allreduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from cvnerf_tpu.ops.rays import ndc_rays, rays_for_pixels
+from cvnerf_tpu.parallel.mesh import shard_rays
+from cvnerf_tpu.render.renderer import RenderConfig, render_rays
+from cvnerf_tpu.train.state import TrainState, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training configuration (hashable; changes trigger recompile)."""
+    height: int
+    width: int
+    focal: float
+    near: float
+    far: float
+    n_rays: int = 1024
+    lr: float = 5e-4
+    lr_decay: int = 250
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+    ndc: bool = False
+    ndc_variant: str = "canonical"
+    render: RenderConfig = RenderConfig()
+
+
+def _sample_pixels(key: jax.Array, cfg: TrainConfig,
+                   precrop: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample ``n_rays`` (py, px) integer pixel coords without replacement.
+
+    Reference parity: the warm-up center-crop grid (``main.py:354-365``) and
+    ``np.random.choice(..., replace=False)`` (``main.py:368``), both moved
+    on-device.
+    """
+    h, w = cfg.height, cfg.width
+    if precrop:
+        dh = int(h // 2 * cfg.precrop_frac)
+        dw = int(w // 2 * cfg.precrop_frac)
+        y0, x0 = h // 2 - dh, w // 2 - dw
+        gh, gw = 2 * dh, 2 * dw
+    else:
+        y0 = x0 = 0
+        gh, gw = h, w
+    flat = jax.random.choice(key, gh * gw, (cfg.n_rays,), replace=False)
+    py = y0 + flat // gw
+    px = x0 + flat % gw
+    return py, px
+
+
+def make_train_step(cfg: TrainConfig,
+                    mesh: Mesh | None = None) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step_fn(state, key, images, poses, train_idx, precrop) ->
+    (new_state, metrics)`` where ``precrop`` is a static bool (two compiled
+    variants: warm-up and steady-state).
+    """
+    opt = make_optimizer(cfg.lr, cfg.lr_decay)
+    rcfg = cfg.render
+
+    def loss_fn(params, key, rays_o, rays_d, viewdirs, target):
+        out = render_rays(key, params, rays_o, rays_d, viewdirs,
+                          jnp.full((cfg.n_rays,), cfg.near, jnp.float32),
+                          jnp.full((cfg.n_rays,), cfg.far, jnp.float32),
+                          rcfg)
+        mse_fine = jnp.mean((out["rgb"] - target) ** 2)
+        mse_coarse = jnp.mean((out["rgb_coarse"] - target) ** 2)
+        # Reference loss: MSE(fine) + MSE(coarse) (main.py:380-383).
+        return mse_fine + mse_coarse, mse_fine
+
+    def step_fn(state: TrainState, key: jax.Array,
+                images: jnp.ndarray, poses: jnp.ndarray,
+                train_idx: jnp.ndarray, precrop: bool):
+        k_img, k_pix, k_render = jax.random.split(key, 3)
+
+        # One random training image per step (reference main.py:347-349).
+        im_idx = train_idx[jax.random.randint(k_img, (), 0, train_idx.shape[0])]
+        image = images[im_idx]
+        pose = poses[im_idx]
+
+        py, px = _sample_pixels(k_pix, cfg, precrop)
+        target = image[py, px]  # [n_rays, 3]
+
+        rays_o, rays_d = rays_for_pixels(px, py, cfg.width, cfg.height,
+                                         cfg.focal, pose)
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if cfg.ndc:
+            rays_o, rays_d = ndc_rays(cfg.height, cfg.width, cfg.focal, 1.0,
+                                      rays_o, rays_d,
+                                      variant=cfg.ndc_variant)
+
+        if mesh is not None:
+            rays_o, rays_d, viewdirs, target = shard_rays(
+                mesh, rays_o, rays_d, viewdirs, target)
+
+        (loss, mse_fine), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, k_render, rays_o, rays_d,
+                                   viewdirs, target)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "mse_fine": mse_fine,
+            "psnr": -10.0 * jnp.log10(mse_fine),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, static_argnames=("precrop",),
+                   donate_argnums=(0,))
+
+
+class Trainer:
+    """Host-side training driver.
+
+    Owns the compiled step, RNG threading, periodic callbacks (logging,
+    checkpointing, eval renders). Mirrors the responsibilities of reference
+    ``main()``'s loop body (``main.py:344-407``) with the per-step work all
+    on device.
+    """
+
+    def __init__(self, cfg: TrainConfig, state: TrainState,
+                 images, poses, train_idx,
+                 seed: int = 0, mesh: Mesh | None = None):
+        self.cfg = cfg
+        self.state = state
+        self.mesh = mesh
+        self.base_key = jax.random.PRNGKey(seed)
+        self.step_fn = make_train_step(cfg, mesh)
+        self.images = jnp.asarray(images, jnp.float32)
+        self.poses = jnp.asarray(poses, jnp.float32)[:, :3, :4]
+        self.train_idx = jnp.asarray(np.asarray(train_idx), jnp.int32)
+        self.callbacks: list[tuple[int, Callable[[int, "Trainer", dict], None]]] = []
+        self._last_metrics: dict[str, Any] = {}
+
+    def add_callback(self, every: int, fn: Callable) -> None:
+        """Register ``fn(step, trainer, metrics)`` to run every N steps."""
+        self.callbacks.append((every, fn))
+
+    def run(self, start: int, iters: int) -> dict:
+        """Train from ``start`` (exclusive of 0, matching the reference's
+        1-based loop, ``main.py:343-344``) up to ``iters - 1``."""
+        t0 = time.time()
+        rays_done = 0
+        for i in range(start, iters):
+            key = jax.random.fold_in(self.base_key, i)
+            precrop = i < self.cfg.precrop_iters
+            self.state, metrics = self.step_fn(
+                self.state, key, self.images, self.poses, self.train_idx,
+                precrop)
+            rays_done += self.cfg.n_rays
+            for every, fn in self.callbacks:
+                if i % every == 0 and i > 0:
+                    # Sync point: pull metrics only when a callback fires.
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
+                    self._last_metrics = m
+                    fn(i, self, m)
+        m = {k: float(v) for k, v in metrics.items()}
+        m["rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
+        self._last_metrics = m
+        return m

@@ -1,0 +1,103 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvnerf_tpu.parallel.mesh import (
+    RAY_AXIS,
+    make_mesh,
+    ray_sharding,
+)
+from cvnerf_tpu.train.loop import TrainConfig, make_train_step
+from cvnerf_tpu.train.state import create_train_state
+from cvnerf_tpu.render.renderer import RenderConfig
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+
+TINY_MLP = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=64,
+                         head_width=32)
+
+
+def _cfg():
+    return TrainConfig(
+        height=16, width=16, focal=16.0, near=2.0, far=6.0,
+        n_rays=128, lr=5e-3, lr_decay=250,
+        render=RenderConfig(n_coarse=8, n_fine=8, perturb=True,
+                            noise_std=1.0, mlp=TINY_MLP))
+
+
+def _scene():
+    rng = np.random.RandomState(0)
+    images = rng.rand(2, 16, 16, 3).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)[:3],
+                      np.eye(4, dtype=np.float32)[:3]])
+    poses[:, 2, 3] = 4.0
+    return images, poses
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (RAY_AXIS,)
+
+
+def test_sharded_step_runs_and_matches_unsharded():
+    cfg = _cfg()
+    images, poses = _scene()
+    mesh = make_mesh()
+
+    def run(mesh_arg):
+        state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                                   lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+        step = make_train_step(cfg, mesh_arg)
+        key = jax.random.PRNGKey(1)
+        metrics = None
+        for i in range(3):
+            state, metrics = step(state, jax.random.fold_in(key, i),
+                                  jnp.asarray(images),
+                                  jnp.asarray(poses),
+                                  jnp.arange(2, dtype=jnp.int32), False)
+        return state, metrics
+
+    s1, m1 = run(None)
+    s8, m8 = run(mesh)
+    # Same math, different partitioning: losses must agree to fp32 tolerance.
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    w1 = np.asarray(s1.params["fine"]["l6"]["w"])
+    w8 = np.asarray(s8.params["fine"]["l6"]["w"])
+    np.testing.assert_allclose(w1, w8, rtol=1e-3, atol=1e-5)
+
+
+def test_ray_batch_actually_sharded():
+    # Verify the sharding constraint places per-ray data across all devices.
+    mesh = make_mesh()
+    s = ray_sharding(mesh)
+
+    @jax.jit
+    def f(x):
+        return jax.lax.with_sharding_constraint(x * 2, s)
+
+    x = jnp.arange(128.0 * 3).reshape(128, 3)
+    y = f(x)
+    assert len(y.sharding.device_set) == 8
+
+
+def test_render_image_on_mesh_devices():
+    # Full-frame rendering works with params placed on the mesh (replicated).
+    from cvnerf_tpu.render.frames import render_image
+    from cvnerf_tpu.models.nerf_mlp import init_nerf_params
+    from cvnerf_tpu.parallel.mesh import replicated_sharding
+
+    mesh = make_mesh()
+    params = {"coarse": init_nerf_params(jax.random.PRNGKey(0), TINY_MLP),
+              "fine": init_nerf_params(jax.random.PRNGKey(1), TINY_MLP)}
+    params = jax.device_put(params, replicated_sharding(mesh))
+    cfg = RenderConfig(n_coarse=8, n_fine=8, mlp=TINY_MLP).eval_mode()
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]])
+    out = render_image(jax.random.PRNGKey(2), params, 16, 16, 16.0, c2w,
+                       2.0, 6.0, cfg, chunk=64)
+    assert out["rgb"].shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
