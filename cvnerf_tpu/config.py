@@ -1,0 +1,162 @@
+"""Config-file + CLI flag system.
+
+UX parity with the reference's configargparse setup (main.py:410-457): the
+same flag names, a ``--config <file>`` option reading ``key = value`` lines
+(``configs/*.txt`` syntax), CLI flags overriding config-file values.
+configargparse is not available in this environment, so the file layer is a
+small shim over argparse with identical semantics for the syntax the
+reference configs use.
+
+Differences (all additive):
+  * flags the reference parses but ignores are honored here — ``no_reload``,
+    ``ft_path``, ``render_only``, ``render_factor``, ``llffhold``
+    (SURVEY.md §2.2);
+  * new flags for TPU-native features: ``--iters`` (the reference hardcodes
+    100000 at main.py:341), ``--seed`` (reference is unseeded on device),
+    ``--bf16``, ``--ndc_variant``, ``--ckpt_freq``, ``--val_freq``,
+    ``--debug_nans``, ``--profile_dir``.
+  * the resolved config is snapshotted into the run dir (the reference
+    comments this intent at main.py:319 but never does it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shlex
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="cvnerf_tpu: TPU-native NeRF training/rendering")
+    p.add_argument("--config", type=str, default=None,
+                   help="config file path (key = value lines)")
+    p.add_argument("--name", type=str, default="run",
+                   help="experiment name")
+    p.add_argument("--base_dir", type=str, default="./logs/",
+                   help="where to store ckpts and logs")
+    p.add_argument("--data_dir", type=str, default="./data/llff/fern",
+                   help="input data directory")
+    p.add_argument("--save_dir", type=str, default="./logs")
+
+    p.add_argument("--n_rays", type=int, default=4096)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr_decay", type=int, default=250)
+
+    p.add_argument("--chunk", type=int, default=1024 * 32)
+    p.add_argument("--netchunk", type=int, default=1024 * 64,
+                   help="accepted for reference parity; the fused TPU "
+                        "pipeline has no separate network chunking")
+    p.add_argument("--no_reload", action="store_true")
+    p.add_argument("--ft_path", type=str, default=None)
+
+    p.add_argument("--n_coarse_samples", type=int, default=64)
+    p.add_argument("--n_fine_samples", type=int, default=0)
+    p.add_argument("--perturb", type=float, default=1.0)
+    p.add_argument("--noise", type=float, default=0.0)
+
+    p.add_argument("--render_only", action="store_true")
+    p.add_argument("--render_test", action="store_true")
+    p.add_argument("--render_factor", type=int, default=0)
+
+    p.add_argument("--precrop_iters", type=int, default=0)
+    p.add_argument("--precrop_frac", type=float, default=0.5)
+
+    p.add_argument("--testskip", type=int, default=8)
+
+    p.add_argument("--white_bkg", action="store_true")
+    p.add_argument("--half_res", action="store_true")
+
+    p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--no_ndc", action="store_true")
+    p.add_argument("--spherify", action="store_true",
+                   help="accepted for reference parity (ignored there too)")
+    p.add_argument("--llffhold", type=int, default=8)
+
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--vid_freq", type=int, default=5000)
+
+    p.add_argument("--dtype", type=str, default="llff")
+
+    # --- TPU-native additions ---
+    p.add_argument("--iters", type=int, default=100000,
+                   help="training iterations (reference hardcodes 100000)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 MLP matmuls with fp32 accumulation")
+    p.add_argument("--ndc_variant", type=str, default="canonical",
+                   choices=["canonical", "reference"],
+                   help="NDC origin-shift formula (see SURVEY.md §2.3-3)")
+    p.add_argument("--ckpt_freq", type=int, default=2500,
+                   help="checkpoint cadence (the reference team's "
+                        "historical cadence)")
+    p.add_argument("--val_freq", type=int, default=2500,
+                   help="validation-PSNR cadence (0 disables)")
+    p.add_argument("--deterministic_resample", action="store_true",
+                   help="evenly-spaced (non-stochastic) inverse-CDF "
+                        "uniforms at eval time")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--trunk_width", type=int, default=256,
+                   help="MLP trunk width (reference fixes 256)")
+    p.add_argument("--head_width", type=int, default=128,
+                   help="view-dependent head width (reference fixes 128)")
+    p.add_argument("--xyz_freqs", type=int, default=10,
+                   help="positional-encoding L for xyz")
+    p.add_argument("--dir_freqs", type=int, default=4,
+                   help="positional-encoding L for view directions")
+    return p
+
+
+_STORE_TRUE = {"no_reload", "render_only", "render_test", "white_bkg",
+               "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
+               "deterministic_resample"}
+
+
+def _config_file_to_argv(path: str) -> list[str]:
+    """``key = value`` lines → argv fragments (configargparse semantics for
+    the subset the reference configs use: scalars and booleans)."""
+    argv: list[str] = []
+    with open(path) as fp:
+        for line in fp:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" not in line:
+                raise ValueError(f"{path}: bad config line {line!r}")
+            key, value = (s.strip() for s in line.split("=", 1))
+            if key in _STORE_TRUE:
+                if value.lower() in ("true", "1", "yes"):
+                    argv.append(f"--{key}")
+                elif value.lower() in ("false", "0", "no"):
+                    pass
+                else:
+                    raise ValueError(f"{path}: bad boolean {line!r}")
+            else:
+                argv.extend([f"--{key}", *shlex.split(value)])
+    return argv
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Two-pass parse: config file values first, CLI flags override."""
+    parser = build_parser()
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        file_argv = _config_file_to_argv(pre.config)
+        args = parser.parse_args(file_argv)
+        args = parser.parse_args(argv, namespace=args)
+    else:
+        args = parser.parse_args(argv)
+    return args
+
+
+def snapshot_config(args: argparse.Namespace, run_dir: str) -> str:
+    """Write the fully-resolved config to the run directory."""
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, "config_resolved.json")
+    with open(path, "w") as fp:
+        json.dump(vars(args), fp, indent=2, sort_keys=True)
+    return path

@@ -155,13 +155,23 @@ class Trainer:
                  images, poses, train_idx,
                  seed: int = 0, mesh: Mesh | None = None):
         self.cfg = cfg
-        self.state = state
         self.mesh = mesh
         self.base_key = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(cfg, mesh)
+        self.state = state
         self.images = jnp.asarray(images, jnp.float32)
         self.poses = jnp.asarray(poses, jnp.float32)[:, :3, :4]
         self.train_idx = jnp.asarray(np.asarray(train_idx), jnp.int32)
+        if mesh is not None:
+            # Replicate state and the device-resident dataset across the
+            # mesh (a freshly-restored checkpoint otherwise sits on one
+            # device and conflicts with the in-step sharding constraints).
+            from cvnerf_tpu.parallel.mesh import replicated_sharding
+            rep = replicated_sharding(mesh)
+            self.state = jax.device_put(self.state, rep)
+            self.images = jax.device_put(self.images, rep)
+            self.poses = jax.device_put(self.poses, rep)
+            self.train_idx = jax.device_put(self.train_idx, rep)
         self.callbacks: list[tuple[int, Callable[[int, "Trainer", dict], None]]] = []
         self._last_metrics: dict[str, Any] = {}
 

