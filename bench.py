@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark: rays/sec/chip at the reference lego training workload.
+
+Workload parity (BASELINE.md): 1024 rays/step, 64 coarse + 128 fine samples,
+two 256-wide coarse/fine MLPs, white background — i.e. 262,144 MLP
+evaluations per training step, forward+backward, exactly the per-step compute
+of ``configs/lego.txt`` — plus a full-image render pass at the same sample
+counts (the eval-path workload).
+
+Baseline denominator: the reference publishes no numbers (BASELINE.md). The
+denominator below is an estimate of the reference-class PyTorch NeRF on a
+V100-class GPU: public nerf-pytorch-family implementations of this exact
+architecture report ~1-2 it/s at 4096 rays x 192 samples (≈5k-8k rays/s);
+the reference additionally ships with ``torch.autograd.set_detect_anomaly
+(True)`` (main.py:16) and rebuilds the full H×W ray grid per step
+(main.py:351), so 5,000 rays/s is a *generous* denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_GPU_RAYS_PER_SEC = 5000.0  # estimated; see module docstring
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache — the 400x400 render program alone takes
+    ~4 minutes to compile cold on the tunneled TPU; cached it loads in
+    seconds."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench(train_steps: int = 200, warmup: int = 20) -> dict:
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from cvnerf_tpu.parallel.mesh import make_mesh
+    from cvnerf_tpu.render.frames import render_image
+    from cvnerf_tpu.render.renderer import RenderConfig
+    from cvnerf_tpu.train.loop import TrainConfig, Trainer
+    from cvnerf_tpu.train.state import create_train_state
+
+    n_chips = len(jax.devices())
+    H = W = 400  # half-res lego frame size
+    focal = 555.0
+
+    # Synthetic lego-shaped dataset (the real capture is not bundled; the
+    # compute is shape-identical).
+    rng = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = np.stack([xx / W, yy / H, ((xx + yy) % 40) / 40.0],
+                   -1).astype(np.float32)
+    images = np.stack([img, img[::-1].copy()], 0)
+    poses = np.stack([np.eye(4, dtype=np.float32)[:3]] * 2)
+    poses[:, 2, 3] = 4.0
+
+    rcfg = RenderConfig(n_coarse=64, n_fine=128, perturb=True,
+                        noise_std=0.0, white_bkg=True,
+                        compute_dtype=jnp.bfloat16)
+    cfg = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
+                      n_rays=1024, lr=5e-4, lr_decay=500, render=rcfg)
+
+    mesh = make_mesh()
+    state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                               lr_decay=cfg.lr_decay)
+    tr = Trainer(cfg, state, images, poses, [0, 1], seed=0, mesh=mesh)
+
+    # --- train throughput ---
+    # Sync via host transfer: block_until_ready does not reliably block on
+    # the tunneled TPU platform.
+    def sync():
+        np.asarray(jax.tree.leaves(tr.state.params)[0])
+
+    tr.run(1, warmup + 1)                      # compile + warm up
+    sync()
+    t0 = time.perf_counter()
+    final = tr.run(warmup + 1, warmup + train_steps + 1)
+    sync()
+    train_dt = time.perf_counter() - t0
+    train_rays_sec = train_steps * cfg.n_rays / train_dt
+
+    # --- render throughput (eval path) ---
+    rcfg_test = rcfg.eval_mode()
+    c2w = jnp.asarray(poses[0])
+
+    def do_render():
+        out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
+                           focal, c2w, 2.0, 6.0, rcfg_test, chunk=8192)
+        np.asarray(out["rgb"])
+        return out
+
+    do_render()  # compile
+    t0 = time.perf_counter()
+    n_render = 2
+    for _ in range(n_render):
+        do_render()
+    render_dt = time.perf_counter() - t0
+    render_rays_sec = n_render * H * W / render_dt
+
+    value = train_rays_sec / n_chips
+    return {
+        "metric": "train_rays_per_sec_per_chip_lego_workload",
+        "value": round(value, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(value / REFERENCE_GPU_RAYS_PER_SEC, 2),
+        "render_rays_per_sec_per_chip": round(render_rays_sec / n_chips, 1),
+        "train_step_ms": round(1000 * train_dt / train_steps, 2),
+        "frame_400x400_ms": round(1000 * render_dt / n_render, 1),
+        "n_chips": n_chips,
+        "final_loss": round(float(final["loss"]), 5),
+        "baseline_rays_per_sec_estimated": REFERENCE_GPU_RAYS_PER_SEC,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(bench()))

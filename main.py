@@ -24,6 +24,13 @@ def main(argv=None):
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # Persistent XLA compile cache: full-frame render programs take minutes
+    # to compile cold on TPU; cached they load in seconds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
     from cvnerf_tpu.data import load_scene
