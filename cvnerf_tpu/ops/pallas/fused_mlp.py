@@ -1,0 +1,266 @@
+"""Fused positional-encode → NeRF-MLP Pallas kernel.
+
+This is the north-star kernel (SURVEY.md §7, BASELINE.json): the reference
+pushes every sample through host-chunked ``embed → cat → Linear×11`` with all
+intermediates round-tripping HBM (reference ``model.py:110-131``); XLA's
+fusion of the equivalent jnp chain tops out at ~73 TFLOP/s on v5e because
+each 256-wide layer's [N, 256] activations spill to HBM. This kernel keeps
+**everything** — both frequency encodings, all 12 weight matrices, and every
+activation — resident in VMEM for a tile of points, so HBM traffic per point
+is 16 B in (xyz+dir) and 16 B out (rgbσ) instead of ~10 KB.
+
+Design notes:
+  * **Transposed layout.** Tiles are ``[channels, T]`` with ``T`` (points) on
+    the lane axis, channels on sublanes. Every matmul is then
+    ``W^T[out,in] @ h[in,T]`` — both operands MXU-aligned for any trunk width
+    that is a multiple of 8. Inputs arrive as ``[4, N]`` (xyz/dir padded with
+    a zero row), outputs leave as ``[4, N]`` (rgb, sigma).
+  * **Encoding as matmul + masked trig.** The frequency encoding
+    ``[x, sin(2^k x), cos(2^k x)]`` is computed as ``S = P @ x`` (``P`` a
+    constant scale matrix) followed by columnwise
+    ``id·S + sin_mask·sin(S) + cos_mask·cos(S)`` — no reshapes/relayouts on
+    the TPU, and the trig stays in fp32 (bf16 mantissas are useless at
+    ``2^9·x`` phase magnitudes).
+  * **Skip/concat as split matmuls.** The xyz skip at layer 6 and the
+    viewdir concat at layer 10 (reference model.py:94,103) are algebraically
+    ``W6a@h + W6b@enc`` — avoiding in-kernel concatenation on the sublane
+    axis for the wide operand.
+  * Weight blocks use constant index maps, so Pallas loads them into VMEM
+    once and reuses them across the whole grid.
+
+Weights are packed from the standard pytree (``models.nerf_mlp``) on device
+per call — a handful of 256×256 transposes, fused by XLA and negligible next
+to the MLP evaluation itself.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+
+
+def pallas_supported() -> bool:
+    """True when the default backend can run Mosaic TPU kernels."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _encoding_constants(n_freqs: int, pad_to: int):
+    """Constant (P, id/sin/cos masks) arrays realizing freq_encode as
+    ``mask_id*(P@x) + mask_sin*sin(P@x) + mask_cos*cos(P@x)``.
+
+    Column layout matches ``ops.encoding.freq_encode`` exactly:
+    ``[x(3) | sin(2^0 x)(3) cos(2^0 x)(3) | sin(2^1 x)(3) ...]``.
+    """
+    dim = 3
+    out = dim + 2 * dim * n_freqs
+    p = np.zeros((pad_to, 4), np.float32)
+    m_id = np.zeros((pad_to, 1), np.float32)
+    m_sin = np.zeros((pad_to, 1), np.float32)
+    m_cos = np.zeros((pad_to, 1), np.float32)
+    for i in range(dim):
+        p[i, i] = 1.0
+        m_id[i] = 1.0
+    col = dim
+    for k in range(n_freqs):
+        for trig, mask in ((0, m_sin), (1, m_cos)):
+            for i in range(dim):
+                p[col, i] = 2.0 ** k
+                mask[col] = 1.0
+                col += 1
+    assert col == out
+    return jnp.asarray(p), jnp.asarray(m_id), jnp.asarray(m_sin), \
+        jnp.asarray(m_cos)
+
+
+def _pack_params(params: dict, cfg: NerfMLPConfig, compute_dtype: Any):
+    """Pytree params → kernel operand list (transposed, padded, cast)."""
+    ex = _round_up(cfg.xyz_dim, 8)    # 63 → 64
+    ed = _round_up(cfg.dir_dim, 8)    # 27 → 32
+    w = cfg.trunk_width
+    h = cfg.head_width
+    cdt = compute_dtype
+
+    def wt(name):  # transposed weight [out, in]
+        return params[name]["w"].T
+
+    def b(name):   # bias as [out, 1] fp32
+        return params[name]["b"][:, None].astype(jnp.float32)
+
+    def pad_in(mat, rows):  # pad input(=second) dim of [out, in]
+        return jnp.pad(mat, ((0, 0), (0, rows - mat.shape[1])))
+
+    def pad_out(mat, rows):  # pad output(=first) dim
+        return jnp.pad(mat, ((0, rows - mat.shape[0]), (0, 0)))
+
+    xd, dd = cfg.xyz_dim, cfg.dir_dim
+    ops = [
+        pad_in(wt("l1"), ex).astype(cdt), b("l1"),
+        wt("l2").astype(cdt), b("l2"),
+        wt("l3").astype(cdt), b("l3"),
+        wt("l4").astype(cdt), b("l4"),
+        wt("l5").astype(cdt), b("l5"),
+        # l6 input order is [xyz_enc | hidden] (reference model.py:94):
+        wt("l6")[:, xd:].astype(cdt),              # w6a: hidden part
+        pad_in(wt("l6")[:, :xd], ex).astype(cdt),  # w6b: encoding part
+        b("l6"),
+        wt("l7").astype(cdt), b("l7"),
+        wt("l8").astype(cdt), b("l8"),
+        wt("l9").astype(cdt), b("l9"),
+        pad_out(wt("alpha"), 8).astype(cdt),
+        pad_out(b("alpha"), 8),
+        # l10 input order is [feat | dir_enc] (reference model.py:103):
+        wt("l10")[:, :w].astype(cdt),              # w10a: feature part
+        pad_in(wt("l10")[:, w:], ed).astype(cdt),  # w10b: dir-encoding part
+        b("l10"),
+        pad_out(wt("l11"), 8).astype(cdt),
+        pad_out(b("l11"), 8),
+    ]
+    return ops
+
+
+def _kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
+            x_ref, d_ref,
+            w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+            w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
+            wa, ba, w10a, w10b, b10, w11, b11,
+            o_ref, *, compute_dtype):
+    f32 = jnp.float32
+    cdt = compute_dtype
+    # Mosaic executes fp32 dots as single-pass bf16 under DEFAULT precision;
+    # demand full fp32 when the compute dtype is fp32.
+    layer_prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
+                  else jax.lax.Precision.HIGHEST)
+
+    def mm(a, b):
+        # Mosaic requires 32-bit matmul accumulators; results are cast back
+        # to the compute dtype after the bias+relu.
+        return jnp.dot(a[:], b, preferred_element_type=f32,
+                       precision=layer_prec)
+
+    mm32 = mm
+
+    def mm_exact(a, b):
+        return jnp.dot(a[:], b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # --- encodings (fp32 trig and exact phase scaling: bf16 mantissas are
+    # useless at 2^9·x phase magnitudes) ---
+    x = x_ref[:]                                   # [4, T] f32
+    s = mm_exact(px, x)                            # [EX, T]
+    enc_x = mix[:] * s + msx[:] * jnp.sin(s) + mcx[:] * jnp.cos(s)
+    d = d_ref[:]
+    sd = mm_exact(pd, d)                           # [ED, T]
+    enc_d = mid[:] * sd + msd[:] * jnp.sin(sd) + mcd[:] * jnp.cos(sd)
+
+    enc_xc = enc_x.astype(cdt)
+    relu = jax.nn.relu
+
+    h = relu(mm(w1, enc_xc) + b1[:]).astype(cdt)
+    h = relu(mm(w2, h) + b2[:]).astype(cdt)
+    h = relu(mm(w3, h) + b3[:]).astype(cdt)
+    h = relu(mm(w4, h) + b4[:]).astype(cdt)
+    h = relu(mm(w5, h) + b5[:]).astype(cdt)
+    h = relu(mm(w6a, h) + mm(w6b, enc_xc) + b6[:]).astype(cdt)
+    h = relu(mm(w7, h) + b7[:]).astype(cdt)
+    h8 = relu(mm(w8, h) + b8[:]).astype(cdt)
+
+    sigma = mm32(wa, h8) + ba[:]                   # [8, T] f32, row 0 real
+    feat = (mm(w9, h8) + b9[:]).astype(cdt)        # no ReLU (model.py:101)
+
+    h10 = relu(mm(w10a, feat) + mm(w10b, enc_d.astype(cdt)) + b10[:])
+    rgb = mm32(w11, h10.astype(cdt)) + b11[:]      # [8, T] f32, rows 0:3 real
+
+    o_ref[:] = jnp.concatenate([rgb[0:3, :], sigma[0:1, :]], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "tile",
+                                    "interpret"))
+def fused_nerf_apply(params: dict,
+                     points: jnp.ndarray,
+                     viewdirs: jnp.ndarray,
+                     cfg: NerfMLPConfig = NerfMLPConfig(),
+                     compute_dtype: Any = jnp.bfloat16,
+                     tile: int = 1024,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Evaluate the full encode→MLP pipeline at flat points.
+
+    Drop-in fused equivalent of ``freq_encode + apply_nerf`` (the jnp oracle
+    it is equivalence-tested against).
+
+    Args:
+        points: ``[n, 3]`` sample positions (any float dtype; encoded fp32).
+        viewdirs: ``[n, 3]`` per-point unit view directions (pre-broadcast
+            from per-ray dirs by the caller).
+        tile: points per grid step (lane-axis size; multiple of 128).
+        interpret: run in the Pallas interpreter (CPU testing).
+    Returns:
+        ``[n, 4]`` raw (rgb, sigma), float32.
+    """
+    # fp32 activations double the VMEM working set; cap the tile so the
+    # full-size model stays under the 16 MB scoped-VMEM limit.
+    if compute_dtype == jnp.float32:
+        tile = min(tile, 2048)
+    n = points.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+
+    ex = _round_up(cfg.xyz_dim, 8)
+    ed = _round_up(cfg.dir_dim, 8)
+
+    # [4, N] transposed inputs, zero 4th row, zero tail padding.
+    def prep(a):
+        a = a.astype(jnp.float32)
+        a = jnp.pad(a, ((0, n_pad - n), (0, 1)))
+        return a.T
+
+    x_t = prep(points)
+    d_t = prep(viewdirs)
+
+    px, mix, msx, mcx = _encoding_constants(cfg.xyz_freqs, ex)
+    pd, mid, msd, mcd = _encoding_constants(cfg.dir_freqs, ed)
+    wops = _pack_params(params, cfg, compute_dtype)
+
+    consts = [px, mix, msx, mcx, pd, mid, msd, mcd]
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid = (n_pad // tile,)
+    in_specs = (
+        [const_spec(a) for a in consts]
+        + [pl.BlockSpec((4, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)] * 2
+        + [const_spec(a) for a in wops]
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * (cfg.xyz_dim * cfg.trunk_width
+                               + 8 * cfg.trunk_width ** 2
+                               + cfg.trunk_width * cfg.head_width),
+            bytes_accessed=n_pad * 32,
+            transcendentals=n_pad * (ex + ed),
+        ),
+    )(*consts, x_t, d_t, *wops)
+
+    return out.T[:n]

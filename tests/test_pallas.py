@@ -1,0 +1,97 @@
+"""Equivalence tests: Pallas fused kernel vs the jnp oracle (interpret mode
+on CPU; the same tests run compiled on real TPU via bench/verify drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvnerf_tpu.models.nerf_mlp import (
+    NerfMLPConfig,
+    apply_nerf,
+    init_nerf_params,
+)
+from cvnerf_tpu.ops.encoding import freq_encode
+from cvnerf_tpu.ops.pallas.fused_mlp import (
+    _encoding_constants,
+    fused_nerf_apply,
+)
+
+
+def _oracle(params, points, viewdirs, cfg, compute_dtype=jnp.float32):
+    xe = freq_encode(points.astype(jnp.float32), cfg.xyz_freqs)
+    de = freq_encode(viewdirs.astype(jnp.float32), cfg.dir_freqs)
+    return apply_nerf(params, xe, de, cfg, compute_dtype=compute_dtype)
+
+
+def test_encoding_constants_match_freq_encode():
+    p, m_id, m_sin, m_cos = _encoding_constants(4, 32)
+    x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    x4 = np.concatenate([x, np.zeros((5, 1), np.float32)], -1)
+    s = x4 @ np.asarray(p).T
+    enc = (np.asarray(m_id).T * s + np.asarray(m_sin).T * np.sin(s)
+           + np.asarray(m_cos).T * np.cos(s))
+    expected = np.asarray(freq_encode(jnp.asarray(x), 4))
+    np.testing.assert_allclose(enc[:, :27], expected, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(enc[:, 27:], 0.0)
+
+
+@pytest.mark.parametrize("cfg", [
+    NerfMLPConfig(),                                      # full-size
+    NerfMLPConfig(xyz_freqs=4, dir_freqs=2,
+                  trunk_width=64, head_width=32),         # tiny
+])
+def test_fused_matches_oracle_fp32(cfg):
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    n = 300  # deliberately not a tile multiple
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 2
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    got = fused_nerf_apply(params, pts, dirs, cfg,
+                           compute_dtype=jnp.float32, tile=128,
+                           interpret=True)
+    want = _oracle(params, pts, dirs, cfg)
+    assert got.shape == (n, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bf16_close_to_fp32_oracle():
+    cfg = NerfMLPConfig()
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    n = 256
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 2
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    got = fused_nerf_apply(params, pts, dirs, cfg,
+                           compute_dtype=jnp.bfloat16, tile=128,
+                           interpret=True)
+    want = np.asarray(_oracle(params, pts, dirs, cfg))
+    got = np.asarray(got)
+    # bf16 matmuls: relative agreement, and identical bf16-vs-bf16 behavior
+    # is checked against the bf16 oracle below.
+    want_bf16 = np.asarray(_oracle(params, pts, dirs, cfg,
+                                   compute_dtype=jnp.bfloat16))
+    err_vs_bf16 = np.abs(got - want_bf16).max()
+    err_vs_fp32 = np.abs(got - want).max()
+    assert err_vs_bf16 < 0.15, err_vs_bf16
+    assert err_vs_fp32 < 0.3, err_vs_fp32
+
+
+def test_fused_padding_is_inert():
+    # Results for the first n points must not depend on pad-tail contents.
+    cfg = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=64,
+                        head_width=32)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(1), (130, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (130, 3))
+    full = fused_nerf_apply(params, pts, dirs, cfg,
+                            compute_dtype=jnp.float32, tile=128,
+                            interpret=True)
+    head = fused_nerf_apply(params, pts[:100], dirs[:100], cfg,
+                            compute_dtype=jnp.float32, tile=128,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(full[:100]), np.asarray(head),
+                               rtol=1e-5, atol=1e-5)
