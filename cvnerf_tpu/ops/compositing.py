@@ -19,7 +19,8 @@ def volume_render(raw_rgba: jnp.ndarray,
                   ray_dirs: jnp.ndarray,
                   key: jax.Array | None = None,
                   noise_std: float = 0.0,
-                  white_bkg: bool = False):
+                  white_bkg: bool = False,
+                  noise: jnp.ndarray | None = None):
     """Composite raw ``[..., n_samples, 4]`` network output into pixel RGB.
 
     The exact reference math (``main.py:170-204``):
@@ -52,7 +53,9 @@ def volume_render(raw_rgba: jnp.ndarray,
     rgb = jax.nn.sigmoid(raw_rgba[..., :3])
     sigma = raw_rgba[..., 3]
     if noise_std > 0.0:
-        sigma = sigma + jax.random.normal(key, sigma.shape, sigma.dtype) * noise_std
+        if noise is None:
+            noise = jax.random.normal(key, sigma.shape, sigma.dtype)
+        sigma = sigma + noise * noise_std
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * deltas)
     # Exclusive cumulative product: T_i = prod_{j<i} (1 - alpha_j + 1e-10).

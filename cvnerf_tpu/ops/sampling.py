@@ -21,7 +21,8 @@ import jax.numpy as jnp
 def stratified_samples(key: jax.Array | None,
                        near: jnp.ndarray, far: jnp.ndarray,
                        n_samples: int, n_rays: int,
-                       perturb: bool) -> jnp.ndarray:
+                       perturb: bool,
+                       u: jnp.ndarray | None = None) -> jnp.ndarray:
     """Depths ``t`` of stratified coarse samples, ``[n_rays, n_samples]``.
 
     Base grid is ``near·(1-s) + far·s`` for ``s = linspace(0, 1, n)``
@@ -30,8 +31,11 @@ def stratified_samples(key: jax.Array | None,
     (reference ``main.py:227-234``).
 
     Args:
-        key: PRNG key; required when ``perturb`` is True.
+        key: PRNG key; required when ``perturb`` is True and ``u`` is None.
         near, far: scalars or ``[n_rays]`` / ``[n_rays, 1]`` bounds.
+        u: optional pre-drawn uniforms ``[n_rays, n_samples]`` — used by the
+            renderer's per-ray RNG so results are invariant to sharding and
+            chunking.
     """
     s = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
     near = jnp.broadcast_to(jnp.reshape(jnp.asarray(near, jnp.float32), (-1, 1)),
@@ -44,14 +48,16 @@ def stratified_samples(key: jax.Array | None,
         mids = 0.5 * (t[..., 1:] + t[..., :-1])
         upper = jnp.concatenate([mids, t[..., -1:]], axis=-1)
         lower = jnp.concatenate([t[..., :1], mids], axis=-1)
-        u = jax.random.uniform(key, t.shape, dtype=t.dtype)
+        if u is None:
+            u = jax.random.uniform(key, t.shape, dtype=t.dtype)
         t = lower + (upper - lower) * u
     return t
 
 
 def sample_pdf(key: jax.Array | None,
                bins: jnp.ndarray, weights: jnp.ndarray,
-               n_samples: int, deterministic: bool = False) -> jnp.ndarray:
+               n_samples: int, deterministic: bool = False,
+               u: jnp.ndarray | None = None) -> jnp.ndarray:
     """Inverse-transform sampling from a piecewise-constant weight PDF.
 
     Parity with reference ``utils.py:4-53``: ε=1e-5 smoothing, normalize to a
@@ -86,22 +92,36 @@ def sample_pdf(key: jax.Array | None,
     if deterministic:
         u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
-    else:
+    elif u is None:
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
-
-    # Right-bisection per ray: index of the first cdf entry > u.
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    upper = jnp.minimum(cdf.shape[-1] - 1, idx)
-    lower = jnp.maximum(0, idx - 1)
 
     if bins.shape[-1] != cdf.shape[-1]:
         raise ValueError(
             f"bins must be one wider than weights: got bins[..., "
             f"{bins.shape[-1]}] vs weights[..., {weights.shape[-1]}]")
-    cdf_lo = jnp.take_along_axis(cdf, lower, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, upper, axis=-1)
-    bin_lo = jnp.take_along_axis(bins, lower, axis=-1)
-    bin_hi = jnp.take_along_axis(bins, upper, axis=-1)
+
+    # Right-bisection per ray as a compare-and-count (identical result to
+    # searchsorted(side="right")): binary search + gather lower terribly on
+    # TPU (lane-crossing dynamic indexing; the vmapped-searchsorted version
+    # of this function took minutes to *compile* and dominated render time),
+    # while a [q, n_bins] comparison + one-hot contraction is plain VPU/MXU
+    # work. n_bins is ~64, so the extra O(n_bins) compares per sample are
+    # free next to the MLP.
+    nb = cdf.shape[-1]
+    idx = jnp.sum((u[..., :, None] >= cdf[..., None, :]),
+                  axis=-1).astype(jnp.int32)           # [n, q]
+    upper = jnp.minimum(nb - 1, idx)
+    lower = jnp.maximum(0, idx - 1)
+
+    # Gather cdf/bin values via one-hot contraction (no dynamic indexing).
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    oh_lo = (lower[..., :, None] == iota).astype(cdf.dtype)   # [n, q, nb]
+    oh_hi = (upper[..., :, None] == iota).astype(cdf.dtype)
+    vals = jnp.stack([cdf, bins], axis=-1)                    # [n, nb, 2]
+    lo = jnp.einsum("...qb,...bk->...qk", oh_lo, vals)
+    hi = jnp.einsum("...qb,...bk->...qk", oh_hi, vals)
+    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
+    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)

@@ -43,10 +43,24 @@ class RenderConfig:
     deterministic_resample: bool = False  # original-NeRF det path (not in ref)
     mlp: NerfMLPConfig = NerfMLPConfig()
     compute_dtype: Any = jnp.float32
+    # MLP execution path: "auto" uses the fused Pallas kernel on TPU and the
+    # jnp oracle elsewhere; "on"/"off" force it; "interpret" runs the kernel
+    # in the Pallas interpreter (CPU equivalence testing).
+    pallas: str = "auto"
 
     def eval_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no density noise (main.py:163-165)."""
         return dataclasses.replace(self, perturb=False, noise_std=0.0)
+
+    def resolve_pallas(self) -> bool:
+        if self.pallas == "auto":
+            from cvnerf_tpu.ops.pallas.fused_mlp import pallas_supported
+            return pallas_supported()
+        if self.pallas in ("on", "interpret"):
+            return True
+        if self.pallas == "off":
+            return False
+        raise ValueError(f"bad pallas mode: {self.pallas!r}")
 
 
 def _query_mlp(params: dict, points: jnp.ndarray, viewdirs: jnp.ndarray,
@@ -54,9 +68,21 @@ def _query_mlp(params: dict, points: jnp.ndarray, viewdirs: jnp.ndarray,
     """Encode and evaluate the MLP at ``points`` ``[n_rays, n_samples, 3]``.
 
     Replaces reference ``net_forward`` + ``combine`` (``model.py:110-131``):
-    no flatten/chunk round-trips — encoding broadcasts in place and XLA fuses
-    it into the first matmul's operand.
+    no flatten/chunk round-trips. On TPU this runs the fused Pallas
+    encode→MLP kernel (ops/pallas) with its custom VJP; elsewhere the jnp
+    oracle, whose encoding XLA fuses into the first matmul's operand.
     """
+    if cfg.resolve_pallas():
+        from cvnerf_tpu.ops.pallas.fused_mlp_bwd import fused_nerf_train_apply
+        n_rays, n_samples = points.shape[:2]
+        pts_flat = points.reshape(-1, 3)
+        dirs_flat = jnp.broadcast_to(
+            viewdirs[:, None, :], (n_rays, n_samples, 3)).reshape(-1, 3)
+        raw = fused_nerf_train_apply(params, pts_flat, dirs_flat, cfg.mlp,
+                                     cfg.compute_dtype, 2048,
+                                     cfg.pallas == "interpret")
+        return raw.reshape(n_rays, n_samples, 4)
+
     xyz_enc = freq_encode(points, cfg.mlp.xyz_freqs)
     # Per-sample viewdirs: broadcast the per-ray unit dir over samples
     # (reference model.py:114-117).
@@ -67,6 +93,30 @@ def _query_mlp(params: dict, points: jnp.ndarray, viewdirs: jnp.ndarray,
                       compute_dtype=cfg.compute_dtype)
 
 
+def _per_ray_uniform(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
+                     n: int) -> jnp.ndarray:
+    """[len(ray_ids), n] uniforms keyed by (key, tag, global ray id).
+
+    Keying randomness to the *global* ray id makes every render bitwise
+    invariant to sharding and chunk size: a ray draws the same jitter /
+    resample / noise stream whether it runs on 1 chip or 256, in one chunk
+    or many. (The reference's torch RNG is a single global stream, so its
+    results change with chunk size; SURVEY.md §7 "RNG semantics".)
+    """
+    tagged = jax.random.fold_in(key, tag)
+    return jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(tagged, i), (n,)))(
+            ray_ids)
+
+
+def _per_ray_normal(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
+                    n: int) -> jnp.ndarray:
+    tagged = jax.random.fold_in(key, tag)
+    return jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(tagged, i), (n,)))(
+            ray_ids)
+
+
 def render_rays(key: jax.Array,
                 params: dict,
                 rays_o: jnp.ndarray,
@@ -74,7 +124,8 @@ def render_rays(key: jax.Array,
                 viewdirs: jnp.ndarray,
                 near: jnp.ndarray,
                 far: jnp.ndarray,
-                cfg: RenderConfig) -> dict:
+                cfg: RenderConfig,
+                ray_ids: jnp.ndarray | None = None) -> dict:
     """Hierarchical volume render of a ray batch.
 
     Args:
@@ -87,30 +138,41 @@ def render_rays(key: jax.Array,
             *pre-NDC* directions, the reference's convention
             (``main.py:61-63``).
         near, far: ``[n_rays]`` or scalar bounds.
+        ray_ids: ``[n_rays]`` global ray indices for RNG keying (defaults to
+            ``arange``); pass the *global* position when calling from a
+            shard or chunk so randomness is partition-invariant.
     Returns:
         dict with ``rgb`` (fine map), ``rgb_coarse``, plus ``acc``/``depth``/
         ``weights`` extras of the fine pass.
     """
     n_rays = rays_o.shape[0]
-    k_strat, k_resample, k_noise_c, k_noise_f = jax.random.split(key, 4)
+    if ray_ids is None:
+        ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
 
     # --- Coarse pass (reference main.py:221-244) ---
-    t_coarse = stratified_samples(k_strat, near, far, cfg.n_coarse, n_rays,
-                                  cfg.perturb)
+    u_strat = (_per_ray_uniform(key, 1, ray_ids, cfg.n_coarse)
+               if cfg.perturb else None)
+    t_coarse = stratified_samples(None, near, far, cfg.n_coarse, n_rays,
+                                  cfg.perturb, u=u_strat)
     points = rays_o[..., None, :] + rays_d[..., None, :] * t_coarse[..., :, None]
     raw = _query_mlp(params["coarse"], points, viewdirs, cfg)
+    noise_c = (_per_ray_normal(key, 3, ray_ids, cfg.n_coarse)
+               if cfg.noise_std > 0 else None)
     coarse = volume_render(raw, t_coarse, rays_d,
-                           key=k_noise_c, noise_std=cfg.noise_std,
-                           white_bkg=cfg.white_bkg)
+                           noise_std=cfg.noise_std,
+                           white_bkg=cfg.white_bkg, noise=noise_c)
 
     # --- Fine pass (reference main.py:247-257; runs unconditionally even at
     # n_fine == 0, where it re-evaluates the fine net on the coarse depths —
     # SURVEY.md §2.3-4) ---
     if cfg.n_fine > 0:
         mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
-        t_new = sample_pdf(k_resample, mids, coarse["weights"][..., 1:-1],
+        u_pdf = (None if cfg.deterministic_resample
+                 else _per_ray_uniform(key, 2, ray_ids, cfg.n_fine))
+        t_new = sample_pdf(None, mids, coarse["weights"][..., 1:-1],
                            cfg.n_fine,
-                           deterministic=cfg.deterministic_resample)
+                           deterministic=cfg.deterministic_resample,
+                           u=u_pdf)
         t_new = jax.lax.stop_gradient(t_new)  # reference detaches (main.py:250)
         t_fine = jnp.sort(jnp.concatenate([t_coarse, t_new], axis=-1), axis=-1)
     else:
@@ -118,9 +180,11 @@ def render_rays(key: jax.Array,
 
     points = rays_o[..., None, :] + rays_d[..., None, :] * t_fine[..., :, None]
     raw = _query_mlp(params["fine"], points, viewdirs, cfg)
+    noise_f = (_per_ray_normal(key, 4, ray_ids, t_fine.shape[-1])
+               if cfg.noise_std > 0 else None)
     fine = volume_render(raw, t_fine, rays_d,
-                         key=k_noise_f, noise_std=cfg.noise_std,
-                         white_bkg=cfg.white_bkg)
+                         noise_std=cfg.noise_std,
+                         white_bkg=cfg.white_bkg, noise=noise_f)
 
     return {
         "rgb": fine["rgb"],
@@ -144,7 +208,9 @@ def render_rays_chunked(key: jax.Array,
     ``lax.map`` over ``[n_chunks, chunk, ...]`` reshaped rays: one compiled
     program regardless of ray count, with intermediate ``[chunk, n_samples,
     width]`` activations bounded to a constant working set. Rays are padded
-    to a chunk multiple and the padding is dropped on return.
+    to a chunk multiple and the padding is dropped on return. Per-ray RNG is
+    keyed by global ray index, so results are bitwise independent of the
+    chunk size.
     """
     n = rays_o.shape[0]
     n_chunks = -(-n // chunk)
@@ -157,14 +223,16 @@ def render_rays_chunked(key: jax.Array,
     ro = ro.reshape(n_chunks, chunk, 3)
     rd = rd.reshape(n_chunks, chunk, 3)
     vd = vd.reshape(n_chunks, chunk, 3)
-    keys = jax.random.split(key, n_chunks)
+    ids = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
+        n_chunks, chunk)
 
     def one(args):
-        k, o, d, v = args
-        return render_rays(k, params, o, d, v,
+        o, d, v, i = args
+        return render_rays(key, params, o, d, v,
                            jnp.full((chunk,), near, jnp.float32),
-                           jnp.full((chunk,), far, jnp.float32), cfg)
+                           jnp.full((chunk,), far, jnp.float32), cfg,
+                           ray_ids=i)
 
-    out = jax.lax.map(one, (keys, ro, rd, vd))
+    out = jax.lax.map(one, (ro, rd, vd, ids))
     return jax.tree.map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n],
                         out)

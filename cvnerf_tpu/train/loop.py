@@ -28,10 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec
 
 from cvnerf_tpu.ops.rays import ndc_rays, rays_for_pixels
-from cvnerf_tpu.parallel.mesh import shard_rays
+from cvnerf_tpu.parallel.mesh import RAY_AXIS
 from cvnerf_tpu.render.renderer import RenderConfig, render_rays
 from cvnerf_tpu.train.state import TrainState, make_optimizer
 
@@ -84,19 +84,44 @@ def make_train_step(cfg: TrainConfig,
     Returns ``step_fn(state, key, images, poses, train_idx, precrop) ->
     (new_state, metrics)`` where ``precrop`` is a static bool (two compiled
     variants: warm-up and steady-state).
+
+    With a mesh, the render+backward runs under ``shard_map`` over the ray
+    axis (required for the Pallas MLP kernel to execute per-device) with a
+    ``pmean`` gradient allreduce over ICI.
     """
+    if mesh is not None and cfg.n_rays % mesh.devices.size != 0:
+        raise ValueError(
+            f"n_rays={cfg.n_rays} must be divisible by the mesh size "
+            f"{mesh.devices.size}")
     opt = make_optimizer(cfg.lr, cfg.lr_decay)
     rcfg = cfg.render
 
-    def loss_fn(params, key, rays_o, rays_d, viewdirs, target):
+    def loss_fn(params, key, rays_o, rays_d, viewdirs, target, ray_ids):
+        n = rays_o.shape[0]
         out = render_rays(key, params, rays_o, rays_d, viewdirs,
-                          jnp.full((cfg.n_rays,), cfg.near, jnp.float32),
-                          jnp.full((cfg.n_rays,), cfg.far, jnp.float32),
-                          rcfg)
+                          jnp.full((n,), cfg.near, jnp.float32),
+                          jnp.full((n,), cfg.far, jnp.float32),
+                          rcfg, ray_ids=ray_ids)
         mse_fine = jnp.mean((out["rgb"] - target) ** 2)
         mse_coarse = jnp.mean((out["rgb_coarse"] - target) ** 2)
         # Reference loss: MSE(fine) + MSE(coarse) (main.py:380-383).
         return mse_fine + mse_coarse, mse_fine
+
+    def local_grad(params, key, rays_o, rays_d, viewdirs, target, ray_ids):
+        """Per-shard loss/grad, allreduced over the ray axis.
+
+        Runs inside shard_map so the Pallas MLP kernel executes per-device
+        on its ray shard; pmean over equal shards equals the global mean.
+        Per-ray RNG (global ray_ids) makes the result independent of the
+        device count.
+        """
+        (loss, mse_fine), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, key, rays_o, rays_d, viewdirs,
+                                   target, ray_ids)
+        loss = jax.lax.pmean(loss, RAY_AXIS)
+        mse_fine = jax.lax.pmean(mse_fine, RAY_AXIS)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        return loss, mse_fine, grads
 
     def step_fn(state: TrainState, key: jax.Array,
                 images: jnp.ndarray, poses: jnp.ndarray,
@@ -118,14 +143,23 @@ def make_train_step(cfg: TrainConfig,
             rays_o, rays_d = ndc_rays(cfg.height, cfg.width, cfg.focal, 1.0,
                                       rays_o, rays_d,
                                       variant=cfg.ndc_variant)
+        ray_ids = jnp.arange(cfg.n_rays, dtype=jnp.int32)
 
         if mesh is not None:
-            rays_o, rays_d, viewdirs, target = shard_rays(
-                mesh, rays_o, rays_d, viewdirs, target)
-
-        (loss, mse_fine), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, k_render, rays_o, rays_d,
-                                   viewdirs, target)
+            p = PartitionSpec
+            sharded = jax.shard_map(
+                local_grad, mesh=mesh,
+                in_specs=(p(), p(), p(RAY_AXIS), p(RAY_AXIS), p(RAY_AXIS),
+                          p(RAY_AXIS), p(RAY_AXIS)),
+                out_specs=(p(), p(), p()),
+                check_vma=False)
+            loss, mse_fine, grads = sharded(
+                state.params, k_render, rays_o, rays_d, viewdirs, target,
+                ray_ids)
+        else:
+            (loss, mse_fine), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, k_render, rays_o,
+                                       rays_d, viewdirs, target, ray_ids)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

@@ -72,11 +72,11 @@ def test_eval_mode_strips_stochasticity():
 
 
 def test_chunked_matches_unchunked():
-    cfg, params, ro, rd, vd, near, far = _tiny_setup(n_rays=20)
-    # Same key per chunk won't reproduce the single-call RNG stream, so test
-    # with all stochasticity off (perturb=False, noise=0, det resample).
+    # Per-ray RNG is keyed by global ray index, so chunked and unchunked
+    # renders agree even with jitter, resampling, AND density noise on.
     import dataclasses
-    cfg = dataclasses.replace(cfg, deterministic_resample=True)
+    cfg, params, ro, rd, vd, near, far = _tiny_setup(n_rays=20)
+    cfg = dataclasses.replace(cfg, perturb=True, noise_std=1.0)
     full = render_rays(jax.random.PRNGKey(0), params, ro, rd, vd, near, far,
                        cfg)
     chunked = render_rays_chunked(jax.random.PRNGKey(0), params, ro, rd, vd,
@@ -84,6 +84,25 @@ def test_chunked_matches_unchunked():
     np.testing.assert_allclose(np.asarray(full["rgb"]),
                                np.asarray(chunked["rgb"]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_sharding_invariant_rng():
+    # The same rays rendered as two halves (with global ray_ids) must match
+    # the single-batch render bitwise-closely, stochasticity fully on.
+    import dataclasses
+    cfg, params, ro, rd, vd, near, far = _tiny_setup(n_rays=16)
+    cfg = dataclasses.replace(cfg, perturb=True, noise_std=1.0)
+    key = jax.random.PRNGKey(5)
+    full = render_rays(key, params, ro, rd, vd, near, far, cfg)
+    ids = jnp.arange(16, dtype=jnp.int32)
+    lo = render_rays(key, params, ro[:8], rd[:8], vd[:8], near[:8], far[:8],
+                     cfg, ray_ids=ids[:8])
+    hi = render_rays(key, params, ro[8:], rd[8:], vd[8:], near[8:], far[8:],
+                     cfg, ray_ids=ids[8:])
+    np.testing.assert_allclose(
+        np.asarray(full["rgb"]),
+        np.concatenate([np.asarray(lo["rgb"]), np.asarray(hi["rgb"])]),
+        rtol=1e-5, atol=1e-6)
 
 
 def test_white_background():
