@@ -216,6 +216,8 @@ class Trainer:
     def run(self, start: int, iters: int) -> dict:
         """Train from ``start`` (exclusive of 0, matching the reference's
         1-based loop, ``main.py:343-344``) up to ``iters - 1``."""
+        if start >= iters:
+            return dict(self._last_metrics)
         t0 = time.time()
         rays_done = 0
         for i in range(start, iters):

@@ -173,15 +173,36 @@ def main(argv=None):
         trainer.add_callback(args.val_freq, val_cb)
 
     if args.profile_dir:
+        # Bounded profiling window: compile + warm up, then trace 20 steps.
+        warm = min(start + 10, args.iters - 1)
+        trainer.run(start + 1, warm + 1)
         jax.profiler.start_trace(args.profile_dir)
-
-    final = trainer.run(start + 1, args.iters)
-
-    if args.profile_dir:
+        trainer.run(warm + 1, min(warm + 21, args.iters))
         jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile_dir}")
+        final = trainer.run(min(warm + 21, args.iters), args.iters)
+    else:
+        final = trainer.run(start + 1, args.iters)
 
     save_checkpoint(ckpt_dir, trainer.state)
     logger.log(int(trainer.state.step), **final)
+
+    # Final held-out evaluation (the reference computes no quantitative
+    # eval at all — SURVEY.md §4; this is the PSNR-parity evidence).
+    if len(scene.test_idx):
+        from cvnerf_tpu.render.frames import render_image as _ri
+        psnrs = []
+        for i in np.asarray(scene.test_idx)[:8]:
+            out = _ri(jax.random.PRNGKey(7), trainer.state.params,
+                      scene.height, scene.width, scene.focal,
+                      jnp.asarray(scene.poses[int(i)]), scene.near,
+                      scene.far, rcfg_test, ndc=scene.ndc,
+                      ndc_variant=args.ndc_variant, chunk=render_chunk)
+            psnrs.append(psnr_images(np.asarray(out["rgb"]),
+                                     scene.images[int(i)]))
+        logger.log(int(trainer.state.step),
+                   test_psnr=float(np.mean(psnrs)),
+                   test_views=len(psnrs))
     logger.close()
     print("Training complete:", final)
 

@@ -1,0 +1,96 @@
+"""Tests for host utilities: image conversion, PSNR, video, metrics,
+checkpointing."""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from cvnerf_tpu.utils.image import psnr, psnr_images, to_byte, write_png, \
+    write_video
+from cvnerf_tpu.utils.metrics import MetricsLogger
+
+
+def test_to_byte_clips_and_scales():
+    x = np.array([[-0.5, 0.0, 0.5, 1.0, 2.0]])
+    out = to_byte(x)
+    np.testing.assert_array_equal(out, [[0, 0, 127, 255, 255]])
+    assert out.dtype == np.uint8
+
+
+def test_psnr_golden():
+    assert abs(psnr(0.01) - 20.0) < 1e-6
+    assert abs(psnr(1.0) - 0.0) < 1e-6
+    a = np.zeros((4, 4, 3))
+    b = np.full((4, 4, 3), 0.1)
+    assert abs(psnr_images(a, b) - 20.0) < 1e-5
+
+
+def test_write_png(tmp_path):
+    p = str(tmp_path / "x" / "img.png")
+    write_png(p, np.random.rand(8, 8, 3).astype(np.float32))
+    assert os.path.getsize(p) > 0
+
+
+def test_write_video(tmp_path):
+    frames = np.random.rand(5, 16, 16, 3).astype(np.float32)
+    out = write_video(str(tmp_path / "v.mp4"), frames, fps=30)
+    assert os.path.exists(out)
+    if out.endswith(".mp4"):
+        assert os.path.getsize(out) > 0
+    else:  # PNG-directory fallback
+        assert len(os.listdir(out)) == 5
+
+
+def test_metrics_logger(tmp_path):
+    logger = MetricsLogger(str(tmp_path), enable_tensorboard=False)
+    logger.log(100, loss=0.5, psnr=20.0)
+    logger.log(200, loss=0.25, psnr=23.0, note="x")
+    logger.close()
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert recs[0]["step"] == 100 and recs[0]["loss"] == 0.5
+    assert recs[1]["note"] == "x"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+    from cvnerf_tpu.train.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from cvnerf_tpu.train.state import create_train_state
+
+    mlp = NerfMLPConfig(xyz_freqs=2, dir_freqs=1, trunk_width=16,
+                        head_width=8)
+    state = create_train_state(jax.random.PRNGKey(0), mlp=mlp)
+    state = state.__class__(params=state.params, opt_state=state.opt_state,
+                            step=state.step + 7)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, state)
+    assert latest_step(d) == 7
+
+    template = create_train_state(jax.random.PRNGKey(99), mlp=mlp)
+    restored = restore_checkpoint(d, template)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["fine"]["l1"]["w"]),
+        np.asarray(state.params["fine"]["l1"]["w"]))
+    # max_to_keep retention
+    for s in (8, 9, 10, 11):
+        state = state.__class__(params=state.params,
+                                opt_state=state.opt_state,
+                                step=jax.numpy.asarray(s))
+        save_checkpoint(d, state, max_to_keep=2)
+    assert latest_step(d) == 11
+
+
+def test_restore_missing_returns_none(tmp_path):
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+    from cvnerf_tpu.train.checkpoint import restore_checkpoint
+    from cvnerf_tpu.train.state import create_train_state
+    mlp = NerfMLPConfig(xyz_freqs=2, dir_freqs=1, trunk_width=16,
+                        head_width=8)
+    template = create_train_state(jax.random.PRNGKey(0), mlp=mlp)
+    assert restore_checkpoint(str(tmp_path / "none"), template) is None
