@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--pallas", type=str, default="auto",
+                   choices=["auto", "on", "off", "interpret"],
+                   help="fused Pallas MLP kernel (auto: on for TPU)")
     p.add_argument("--trunk_width", type=int, default=256,
                    help="MLP trunk width (reference fixes 256)")
     p.add_argument("--head_width", type=int, default=128,

@@ -73,7 +73,8 @@ def main(argv=None):
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
         perturb=args.perturb > 0, noise_std=args.noise,
         white_bkg=args.white_bkg, mlp=mlp,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        pallas=args.pallas)
     rcfg_test = rcfg_train.eval_mode()
     if args.deterministic_resample:
         import dataclasses
@@ -157,9 +158,22 @@ def main(argv=None):
         save_checkpoint(ckpt_dir, tr.state)
         print(f"Checkpoint saved at step {i}")
 
+    def _non_fatal(fn):
+        # Eval/render failures must not kill training (SURVEY.md §5 —
+        # the reference would lose the whole uncheckpointed run).
+        def wrapped(i, tr, m):
+            try:
+                fn(i, tr, m)
+            except Exception as e:  # noqa: BLE001
+                print(f"[WARN] callback {fn.__name__} failed at step {i}: "
+                      f"{e!r}", flush=True)
+        return wrapped
+
+    @_non_fatal
     def vid_cb(i, tr, m):
         spiral_video(i, tr.state.params)
 
+    @_non_fatal
     def val_cb(i, tr, m):
         v = val_psnr(tr.state.params)
         logger.log(i, val_psnr=v)
