@@ -1,0 +1,64 @@
+"""End-to-end CLI test on a synthetic LLFF scene: NDC training path,
+render_test, and the reference-variant NDC flag."""
+
+import json
+import os
+
+import pytest
+
+from fixtures import make_llff_dataset
+
+TINY_FLAGS = [
+    "--dtype", "llff", "--factor", "1", "--llffhold", "4",
+    "--n_rays", "64", "--n_coarse_samples", "8", "--n_fine_samples", "8",
+    "--trunk_width", "32", "--head_width", "16",
+    "--xyz_freqs", "4", "--dir_freqs", "2",
+    "--noise", "1.0", "--chunk", "256",
+    "--print_freq", "5", "--vid_freq", "0", "--val_freq", "0",
+    "--ckpt_freq", "0", "--lr", "5e-3",
+]
+
+
+@pytest.fixture(scope="module")
+def llff_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("llff"))
+    make_llff_dataset(d, n=8, h=16, w=24)
+    return d
+
+
+def test_llff_ndc_train_and_eval(llff_dir, tmp_path):
+    import main as cli
+    logdir = str(tmp_path / "logs")
+    cli.main(["--data_dir", llff_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "ndc", *TINY_FLAGS,
+              "--iters", "12"])
+    metrics = os.path.join(logdir, "ndc", "metrics.jsonl")
+    records = [json.loads(l) for l in open(metrics)]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert losses and all(l > 0 for l in losses)
+    # Final held-out eval ran on the ::4 split (2 test views).
+    test_recs = [r for r in records if "test_psnr" in r]
+    assert test_recs and test_recs[-1]["test_views"] == 2
+
+
+def test_llff_reference_ndc_variant(llff_dir, tmp_path):
+    import main as cli
+    logdir = str(tmp_path / "logs2")
+    cli.main(["--data_dir", llff_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "refndc", *TINY_FLAGS,
+              "--iters", "6", "--ndc_variant", "reference"])
+    assert os.path.exists(os.path.join(logdir, "refndc", "metrics.jsonl"))
+
+
+def test_llff_render_test_poses(llff_dir, tmp_path):
+    import main as cli
+    logdir = str(tmp_path / "logs3")
+    cli.main(["--data_dir", llff_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "rt", *TINY_FLAGS,
+              "--iters", "3", "--render_only", "--render_test"])
+    run_dir = os.path.join(logdir, "rt")
+    frame_dirs = [d for d in os.listdir(run_dir) if d.startswith("spiral_")]
+    assert frame_dirs
+    # render_test renders the held-out poses (2 of 8), not the 120 spiral.
+    frames = os.listdir(os.path.join(run_dir, frame_dirs[0]))
+    assert len(frames) == 2
