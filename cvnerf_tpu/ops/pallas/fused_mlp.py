@@ -149,8 +149,6 @@ def _kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
         return jnp.dot(a[:], b, preferred_element_type=f32,
                        precision=layer_prec)
 
-    mm32 = mm
-
     def mm_exact(a, b):
         return jnp.dot(a[:], b, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -176,11 +174,11 @@ def _kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
     h = relu(mm(w7, h) + b7[:]).astype(cdt)
     h8 = relu(mm(w8, h) + b8[:]).astype(cdt)
 
-    sigma = mm32(wa, h8) + ba[:]                   # [8, T] f32, row 0 real
+    sigma = mm(wa, h8) + ba[:]                   # [8, T] f32, row 0 real
     feat = (mm(w9, h8) + b9[:]).astype(cdt)        # no ReLU (model.py:101)
 
     h10 = relu(mm(w10a, feat) + mm(w10b, enc_d.astype(cdt)) + b10[:])
-    rgb = mm32(w11, h10.astype(cdt)) + b11[:]      # [8, T] f32, rows 0:3 real
+    rgb = mm(w11, h10.astype(cdt)) + b11[:]      # [8, T] f32, rows 0:3 real
 
     o_ref[:] = jnp.concatenate([rgb[0:3, :], sigma[0:1, :]], axis=0)
 

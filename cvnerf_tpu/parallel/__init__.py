@@ -5,7 +5,6 @@ from cvnerf_tpu.parallel.mesh import (
     make_mesh,
     ray_sharding,
     replicated_sharding,
-    shard_rays,
 )
 
 __all__ = [
@@ -13,5 +12,4 @@ __all__ = [
     "make_mesh",
     "ray_sharding",
     "replicated_sharding",
-    "shard_rays",
 ]

@@ -40,14 +40,3 @@ def ray_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def shard_rays(mesh: Mesh, *arrays):
-    """Constrain per-ray arrays to be sharded over the mesh inside jit.
-
-    Used inside the train step after pixel sampling so XLA splits the MLP
-    evaluation across chips and inserts the gradient allreduce over ICI.
-    """
-    s = ray_sharding(mesh)
-    out = tuple(jax.lax.with_sharding_constraint(a, s) for a in arrays)
-    return out if len(out) > 1 else out[0]
