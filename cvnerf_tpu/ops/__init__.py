@@ -3,6 +3,7 @@
 from cvnerf_tpu.ops.encoding import freq_encode, encoding_dim
 from cvnerf_tpu.ops.rays import (
     camera_ray_directions,
+    compute_rays,
     ray_grid,
     rays_for_pixels,
     ndc_rays,
@@ -14,6 +15,7 @@ __all__ = [
     "freq_encode",
     "encoding_dim",
     "camera_ray_directions",
+    "compute_rays",
     "ray_grid",
     "rays_for_pixels",
     "ndc_rays",

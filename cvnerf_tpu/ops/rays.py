@@ -114,3 +114,8 @@ def ndc_rays(height: float, width: float, focal: float, near: float,
     ndc_o = jnp.stack([o0, o1, o2], axis=-1)
     ndc_d = jnp.stack([d0, d1, d2], axis=-1)
     return ndc_o, ndc_d
+
+
+# Reference-name alias: ``compute_rays(h, w, f, pose)`` (reference
+# main.py:19-46) is ``ray_grid`` — identical argument order and returns.
+compute_rays = ray_grid

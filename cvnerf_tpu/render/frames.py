@@ -60,6 +60,49 @@ def render_image(key: jax.Array,
         lambda x: x.reshape(height, width, *x.shape[1:]), out)
 
 
+def render(key: jax.Array,
+           params: dict,
+           height: int,
+           width: int,
+           focal: float,
+           chunk: int = 32768,
+           rays: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+           c2w: jnp.ndarray | None = None,
+           ndc: bool = False,
+           near: float = 0.0,
+           far: float = 1.0,
+           cfg: RenderConfig = RenderConfig(),
+           ndc_variant: str = "canonical"):
+    """Reference-shaped convenience entry (reference ``render``,
+    main.py:49-87): render either a full image from ``c2w`` or an arbitrary
+    ``(origins, directions)`` ray batch.
+
+    Returns ``(rgb, extras)`` where ``extras`` carries ``rgb_coarse`` /
+    ``acc`` / ``depth`` — the reference returns ``[rgb_map, {'rgb_c': ...}]``.
+    """
+    if (rays is None) == (c2w is None):
+        raise ValueError("provide exactly one of rays= or c2w=")
+    if c2w is not None:
+        out = render_image(key, params, height, width, focal,
+                           jnp.asarray(c2w)[:3, :4], near, far, cfg,
+                           ndc=ndc, ndc_variant=ndc_variant, chunk=chunk)
+    else:
+        rays_o, rays_d = rays
+        sh = rays_d.shape
+        rays_o = jnp.reshape(rays_o, (-1, 3))
+        rays_d = jnp.reshape(rays_d, (-1, 3))
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if ndc:
+            rays_o, rays_d = ndc_rays(height, width, focal, 1.0, rays_o,
+                                      rays_d, variant=ndc_variant)
+        out = render_rays_chunked(key, params, rays_o, rays_d, viewdirs,
+                                  near, far, cfg, chunk=chunk)
+        out = jax.tree.map(
+            lambda x: x.reshape(*sh[:-1], *x.shape[1:]), out)
+    rgb = out.pop("rgb")
+    return rgb, out
+
+
 def render_poses_to_frames(key: jax.Array,
                            params: dict,
                            poses,
