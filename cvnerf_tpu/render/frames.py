@@ -26,7 +26,7 @@ from cvnerf_tpu.render.renderer import RenderConfig, render_rays_chunked
 
 @partial(jax.jit,
          static_argnames=("height", "width", "cfg", "ndc", "ndc_variant",
-                          "chunk"))
+                          "chunk", "mesh"))
 def render_image(key: jax.Array,
                  params: dict,
                  height: int,
@@ -38,12 +38,14 @@ def render_image(key: jax.Array,
                  cfg: RenderConfig,
                  ndc: bool = False,
                  ndc_variant: str = "canonical",
-                 chunk: int = 32768) -> dict:
+                 chunk: int = 32768,
+                 mesh=None) -> dict:
     """Render one ``[H, W]`` frame from a camera pose.
 
     Matches reference ``render(c2w=...)`` semantics (``main.py:49-87``):
     viewdirs are normalized from the *pre-NDC* world directions, then rays
-    are optionally warped to NDC with ``near=1``.
+    are optionally warped to NDC with ``near=1``. With ``mesh``, each ray
+    chunk is split across the device mesh (identical pixels, per-ray RNG).
     """
     rays_o, rays_d = ray_grid(height, width, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
@@ -55,7 +57,7 @@ def render_image(key: jax.Array,
                                   variant=ndc_variant)
 
     out = render_rays_chunked(key, params, rays_o, rays_d, viewdirs,
-                              near, far, cfg, chunk=chunk)
+                              near, far, cfg, chunk=chunk, mesh=mesh)
     return jax.tree.map(
         lambda x: x.reshape(height, width, *x.shape[1:]), out)
 
@@ -117,7 +119,7 @@ def render_poses_to_frames(key: jax.Array,
                            chunk: int = 32768,
                            factor: int = 0,
                            on_frame: Callable[[int, np.ndarray], None] | None = None,
-                           ) -> np.ndarray:
+                           mesh=None) -> np.ndarray:
     """Render a pose sequence to ``[N, H, W, 3]`` uint8-ready float frames.
 
     Reference parity: ``render_full`` (``main.py:102-124``), including the
@@ -147,7 +149,7 @@ def render_poses_to_frames(key: jax.Array,
         c2w = jnp.asarray(pose)[:3, :4]
         out = render_image(keys[i], params, height, width, float(focal), c2w,
                            float(near), float(far), cfg, ndc=ndc,
-                           ndc_variant=ndc_variant, chunk=chunk)
+                           ndc_variant=ndc_variant, chunk=chunk, mesh=mesh)
         pending.append((i, out))
         if len(pending) > 1:  # keep one frame in flight
             drain(pending.pop(0))

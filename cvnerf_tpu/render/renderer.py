@@ -202,7 +202,8 @@ def render_rays_chunked(key: jax.Array,
                         near: float,
                         far: float,
                         cfg: RenderConfig,
-                        chunk: int = 32768) -> dict:
+                        chunk: int = 32768,
+                        mesh=None) -> dict:
     """Memory-bounded render of a large flat ray batch, inside jit.
 
     ``lax.map`` over ``[n_chunks, chunk, ...]`` reshaped rays: one compiled
@@ -210,9 +211,15 @@ def render_rays_chunked(key: jax.Array,
     width]`` activations bounded to a constant working set. Rays are padded
     to a chunk multiple and the padding is dropped on return. Per-ray RNG is
     keyed by global ray index, so results are bitwise independent of the
-    chunk size.
+    chunk size — and of the mesh size when ``mesh`` is given, in which case
+    each chunk's rays are split across the mesh under ``shard_map`` (frame
+    rendering scales with chips; rays are embarrassingly parallel).
     """
     n = rays_o.shape[0]
+    if mesh is not None and chunk % mesh.devices.size != 0:
+        raise ValueError(
+            f"chunk={chunk} must be divisible by mesh size "
+            f"{mesh.devices.size}")
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
 
@@ -226,12 +233,29 @@ def render_rays_chunked(key: jax.Array,
     ids = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
         n_chunks, chunk)
 
-    def one(args):
-        o, d, v, i = args
+    def chunk_render(o, d, v, i):
+        m = o.shape[0]
         return render_rays(key, params, o, d, v,
-                           jnp.full((chunk,), near, jnp.float32),
-                           jnp.full((chunk,), far, jnp.float32), cfg,
+                           jnp.full((m,), near, jnp.float32),
+                           jnp.full((m,), far, jnp.float32), cfg,
                            ray_ids=i)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from cvnerf_tpu.parallel.mesh import RAY_AXIS
+        sharded = jax.shard_map(
+            lambda p, o, d, v, i: chunk_render(o, d, v, i),
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                      P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS), check_vma=False)
+
+        def one(args):
+            o, d, v, i = args
+            return sharded(params, o, d, v, i)
+    else:
+        def one(args):
+            return chunk_render(*args)
 
     out = jax.lax.map(one, (ro, rd, vd, ids))
     return jax.tree.map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n],

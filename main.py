@@ -113,7 +113,7 @@ def main(argv=None):
             scene.height, scene.width, scene.focal, scene.near, scene.far,
             rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
             chunk=render_chunk, factor=args.render_factor,
-            on_frame=on_frame)
+            on_frame=on_frame, mesh=mesh if n_dev > 1 else None)
         out = write_video(
             os.path.join(save_dir, f"{args.name}_spiral_{step:06d}_rgb.mp4"),
             frames, fps=30)
@@ -126,7 +126,7 @@ def main(argv=None):
             jax.random.PRNGKey(123), params, scene.height, scene.width,
             scene.focal, jnp.asarray(scene.poses[i]), scene.near, scene.far,
             rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
-            chunk=render_chunk)
+            chunk=render_chunk, mesh=mesh if n_dev > 1 else None)
         return psnr_images(np.asarray(out["rgb"]), scene.images[i])
 
     # --- render-only mode (the reference parses this flag but ignores it,
