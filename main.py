@@ -132,7 +132,11 @@ def main(argv=None):
     # --- render-only mode (the reference parses this flag but ignores it,
     # main.py:436; honored here) ---
     if args.render_only:
-        spiral_video(start, state.params)
+        params = state.params
+        if n_dev > 1:
+            from cvnerf_tpu.parallel.mesh import replicated_sharding
+            params = jax.device_put(params, replicated_sharding(mesh))
+        spiral_video(start, params)
         return
 
     # --- training ---
