@@ -106,6 +106,19 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
     render_dt = time.perf_counter() - t0
     render_rays_sec = n_render * H * W / render_dt
 
+    # Secondary: the reference's *default* batch (n_rays=4096, main.py:422).
+    cfg4 = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
+                       n_rays=4096, lr=5e-4, lr_decay=500, render=rcfg)
+    state4 = create_train_state(jax.random.PRNGKey(0), lr=cfg4.lr,
+                                lr_decay=cfg4.lr_decay)
+    tr4 = Trainer(cfg4, state4, images, poses, [0, 1], seed=0, mesh=mesh)
+    tr4.run(1, 11)
+    np.asarray(jax.tree.leaves(tr4.state.params)[0])
+    t0 = time.perf_counter()
+    tr4.run(11, 61)
+    np.asarray(jax.tree.leaves(tr4.state.params)[0])
+    rays4 = 50 * 4096 / (time.perf_counter() - t0)
+
     value = train_rays_sec / n_chips
     return {
         "metric": "train_rays_per_sec_per_chip_lego_workload",
@@ -113,6 +126,7 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
         "unit": "rays/s/chip",
         "vs_baseline": round(value / REFERENCE_GPU_RAYS_PER_SEC, 2),
         "render_rays_per_sec_per_chip": round(render_rays_sec / n_chips, 1),
+        "train_rays_per_sec_at_4096": round(rays4 / n_chips, 1),
         "train_step_ms": round(1000 * train_dt / train_steps, 2),
         "frame_400x400_ms": round(1000 * render_dt / n_render, 1),
         "n_chips": n_chips,
