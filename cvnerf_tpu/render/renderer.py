@@ -233,9 +233,9 @@ def render_rays_chunked(key: jax.Array,
     ids = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
         n_chunks, chunk)
 
-    def chunk_render(o, d, v, i):
+    def chunk_render(p, o, d, v, i):
         m = o.shape[0]
-        return render_rays(key, params, o, d, v,
+        return render_rays(key, p, o, d, v,
                            jnp.full((m,), near, jnp.float32),
                            jnp.full((m,), far, jnp.float32), cfg,
                            ray_ids=i)
@@ -244,18 +244,16 @@ def render_rays_chunked(key: jax.Array,
         from jax.sharding import PartitionSpec as P
         from cvnerf_tpu.parallel.mesh import RAY_AXIS
         sharded = jax.shard_map(
-            lambda p, o, d, v, i: chunk_render(o, d, v, i),
-            mesh=mesh,
+            chunk_render, mesh=mesh,
             in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
                       P(RAY_AXIS)),
             out_specs=P(RAY_AXIS), check_vma=False)
 
         def one(args):
-            o, d, v, i = args
-            return sharded(params, o, d, v, i)
+            return sharded(params, *args)
     else:
         def one(args):
-            return chunk_render(*args)
+            return chunk_render(params, *args)
 
     out = jax.lax.map(one, (ro, rd, vd, ids))
     return jax.tree.map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n],
