@@ -14,8 +14,9 @@ TPU-first restructure (SURVEY.md §7):
     reference's full H×W grid per step, SURVEY.md §2.3-7).
   * RNG is an explicit key folded with the step number — bitwise reproducible
     runs (the reference's torch RNG is unseeded).
-  * Ray arrays carry a mesh sharding constraint, so under a multi-chip mesh
-    XLA splits the MLP work across chips and allreduces gradients over ICI.
+  * Under a multi-chip mesh, the render+backward runs per-device on its ray
+    shard via ``shard_map`` (the Pallas kernels execute locally) with a
+    ``pmean`` gradient allreduce over ICI.
 """
 
 from __future__ import annotations
