@@ -50,6 +50,33 @@ def test_llff_reference_ndc_variant(llff_dir, tmp_path):
     assert os.path.exists(os.path.join(logdir, "refndc", "metrics.jsonl"))
 
 
+def test_llff_no_ndc_train(llff_dir, tmp_path):
+    import main as cli
+    logdir = str(tmp_path / "logs_nondc")
+    cli.main(["--data_dir", llff_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "nondc", *TINY_FLAGS,
+              "--iters", "8", "--no_ndc"])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "nondc", "metrics.jsonl"))]
+    assert any("loss" in r for r in recs)
+
+
+def test_ft_path_restores_into_new_run(llff_dir, tmp_path):
+    import main as cli
+    logdir = str(tmp_path / "logs_ft")
+    base = ["--data_dir", llff_dir, "--base_dir", logdir,
+            "--save_dir", logdir, *TINY_FLAGS]
+    cli.main([*base, "--name", "src", "--iters", "7", "--ckpt_freq", "6"])
+    src_ckpt = os.path.join(logdir, "src", "checkpoints")
+    cli.main([*base, "--name", "dst", "--iters", "10",
+              "--ft_path", src_ckpt])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "dst", "metrics.jsonl"))]
+    steps = [r["step"] for r in recs if "loss" in r]
+    # Fine-tune resumed past the source checkpoint's step 6.
+    assert steps and min(steps) > 6
+
+
 def test_llff_render_test_poses(llff_dir, tmp_path):
     import main as cli
     logdir = str(tmp_path / "logs3")
