@@ -22,10 +22,12 @@ def _ray_grid_np(h, w, focal, c2w):
     return origins, dirs_w
 
 
-def render_sphere_scene(h, w, focal, c2w, radius=1.0):
+def render_sphere_scene(h, w, focal, c2w, radius=1.0, texture="normals"):
     """Analytic render: an emissive sphere at the origin over white.
 
-    Color varies with the surface normal so views are distinguishable.
+    ``texture="normals"`` colors by surface normal (smooth);
+    ``texture="checker"`` adds a high-frequency checkerboard in spherical
+    coordinates (stresses the upper positional-encoding bands).
     Returns float32 RGBA in [0, 1].
     """
     o, d = _ray_grid_np(h, w, focal, c2w)
@@ -39,6 +41,12 @@ def render_sphere_scene(h, w, focal, c2w, radius=1.0):
     p = o + t[..., None] * d
     normal = p / max(radius, 1e-9)
     rgb = np.clip(0.5 + 0.5 * normal, 0, 1).astype(np.float32)
+    if texture == "checker":
+        theta = np.arctan2(normal[..., 1], normal[..., 0])
+        phi = np.arccos(np.clip(normal[..., 2], -1, 1))
+        checker = ((np.floor(theta / np.pi * 8)
+                    + np.floor(phi / np.pi * 8)) % 2)
+        rgb = rgb * (0.35 + 0.65 * checker[..., None]).astype(np.float32)
     alpha = hit.astype(np.float32)[..., None]
     rgb = rgb * alpha  # premultiplied-style: background black under alpha 0
     return np.concatenate([rgb, alpha], -1)
@@ -46,7 +54,8 @@ def render_sphere_scene(h, w, focal, c2w, radius=1.0):
 
 def make_blender_dataset(basedir: str, n_train: int = 6, n_val: int = 2,
                          n_test: int = 2, h: int = 40, w: int = 40,
-                         camera_angle_x: float = 0.8) -> None:
+                         camera_angle_x: float = 0.8,
+                         texture: str = "normals") -> None:
     """Write a Blender-format micro-scene (sphere at origin, cameras at r=4)."""
     focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
     counts = {"train": n_train, "val": n_val, "test": n_test}
@@ -58,7 +67,7 @@ def make_blender_dataset(basedir: str, n_train: int = 6, n_val: int = 2,
             theta = float(rng.uniform(-180, 180))
             phi = float(rng.uniform(-60, -10))
             pose = pose_spherical(theta, phi, 4.0)
-            rgba = render_sphere_scene(h, w, focal, pose)
+            rgba = render_sphere_scene(h, w, focal, pose, texture=texture)
             rel = f"./{split}/r_{i}"
             imageio.imwrite(os.path.join(basedir, f"{split}/r_{i}.png"),
                             (rgba * 255).astype(np.uint8))
