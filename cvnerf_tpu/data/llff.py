@@ -71,27 +71,21 @@ def _read_images(topdir: str, factor: int | None):
     return np.stack(out, 0)
 
 
-def load_llff_data(topdir: str, factor: int | None = 8):
-    """Load an LLFF/COLMAP scene.
+def process_llff_poses(poses: np.ndarray, bounds: np.ndarray):
+    """Pose pipeline shared by ``load_llff_data``: axis fixup, scene rescale,
+    recentering, spiral path, holdout index.
 
+    Separated from image loading so it can run (and be validated) on a bare
+    ``poses_bounds.npy`` — e.g. the bundled real COLMAP skull capture, whose
+    images are not committed (SURVEY.md §0).
+
+    Args:
+        poses: ``[N, 3, 5]`` raw LLFF pose blocks (c2w + hwf column).
+        bounds: ``[N, 2]`` depth bounds.
     Returns:
-        (images [N,H,W,3] float32, poses [N,3,4] float32,
-         render_poses [120,3,5] float32, hwf [3] float32, i_test int,
-         bounds [N,2] float32).
+        (poses [N,3,5] float32 recentered, render_poses [120,3,5] float32,
+         bounds [N,2] float32 rescaled, i_test int).
     """
-    poses, bounds = _read_poses_bounds(topdir)
-    images = _read_images(topdir, factor)
-    if images.shape[0] != poses.shape[0]:
-        raise ValueError(
-            f"{topdir}: {images.shape[0]} images but {poses.shape[0]} poses "
-            "in poses_bounds.npy")
-
-    if factor:
-        # Rewrite the H,W rows and scale focal (reference
-        # data_helpers.py:189-192).
-        poses[:, :2, 4] = np.asarray(images.shape[1:3], np.float64)
-        poses[:, 2, 4] = poses[:, 2, 4] / factor
-
     # COLMAP/LLFF [x,y,z] → NeRF [y,-x,z] axis fixup
     # (reference data_helpers.py:270, done there in (3,5,N) layout).
     poses = np.concatenate(
@@ -123,6 +117,31 @@ def load_llff_data(topdir: str, factor: int | None = 8):
     # reference main.py:287).
     dist = np.sum((c2w[:3, 3] - poses[:, :3, 3]) ** 2, axis=-1)
     i_test = int(np.argmin(dist))
+    return poses, render_poses, bounds, i_test
+
+
+def load_llff_data(topdir: str, factor: int | None = 8):
+    """Load an LLFF/COLMAP scene.
+
+    Returns:
+        (images [N,H,W,3] float32, poses [N,3,4] float32,
+         render_poses [120,3,5] float32, hwf [3] float32, i_test int,
+         bounds [N,2] float32).
+    """
+    poses, bounds = _read_poses_bounds(topdir)
+    images = _read_images(topdir, factor)
+    if images.shape[0] != poses.shape[0]:
+        raise ValueError(
+            f"{topdir}: {images.shape[0]} images but {poses.shape[0]} poses "
+            "in poses_bounds.npy")
+
+    if factor:
+        # Rewrite the H,W rows and scale focal (reference
+        # data_helpers.py:189-192).
+        poses[:, :2, 4] = np.asarray(images.shape[1:3], np.float64)
+        poses[:, 2, 4] = poses[:, 2, 4] / factor
+
+    poses, render_poses, bounds, i_test = process_llff_poses(poses, bounds)
 
     hwf = poses[0, :3, -1].copy()
     return (images.astype(np.float32), poses[:, :3, :4], render_poses, hwf,

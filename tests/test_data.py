@@ -185,6 +185,32 @@ def test_llff_mismatched_counts_raises(tmp_path):
 
 @pytest.mark.skipif(not os.path.exists(REFERENCE_SKULL),
                     reason="reference skull capture not present")
+def test_skull_pose_pipeline_on_real_capture():
+    # The full LLFF pose pipeline (axis fixup, rescale, recenter, spiral,
+    # holdout) on the real 21-view iPhone COLMAP capture.
+    from cvnerf_tpu.data.llff import _read_poses_bounds, process_llff_poses
+    from cvnerf_tpu.data.poses import average_pose
+    raw_poses, raw_bounds = _read_poses_bounds(REFERENCE_SKULL)
+    poses, render_poses, bounds, i_test = process_llff_poses(
+        raw_poses, raw_bounds)
+    assert poses.shape == (21, 3, 5)
+    assert render_poses.shape == (120, 3, 5)
+    assert 0 <= i_test < 21
+    # Rescale invariant: nearest bound at 1/0.75.
+    np.testing.assert_allclose(bounds.min(), 1.0 / 0.75, rtol=1e-5)
+    # Recenter invariant: average pose is the identity.
+    avg = average_pose(poses)
+    np.testing.assert_allclose(avg[:3, :3], np.eye(3), atol=2e-4)
+    np.testing.assert_allclose(avg[:3, 3], 0.0, atol=2e-4)
+    # All rotations stay orthonormal through the pipeline.
+    for p in poses:
+        np.testing.assert_allclose(p[:3, :3].T @ p[:3, :3], np.eye(3),
+                                   atol=1e-4)
+    assert np.isfinite(render_poses).all()
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SKULL),
+                    reason="reference skull capture not present")
 def test_skull_poses_bounds_parse():
     # The bundled real COLMAP capture: 21 iPhone photos (images absent, so
     # only the pose block is checked) — skull/poses_bounds.npy.
