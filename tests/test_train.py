@@ -100,6 +100,20 @@ def test_pixel_sampling_no_replacement():
     assert len(np.unique(flat)) == 128
 
 
+def test_precrop_transition_through_trainer():
+    # The Trainer switches between the two compiled step variants at
+    # precrop_iters (reference main.py:354-365); both must run and the
+    # warm-up must restrict sampling without breaking the step.
+    cfg = _tiny_cfg(precrop_iters=3, precrop_frac=0.5)
+    images, poses = _tiny_scene()
+    state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                               lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+    tr = Trainer(cfg, state, images, poses, [0], seed=1)
+    final = tr.run(1, 7)  # steps 1-2 precrop, 3-6 full grid
+    assert np.isfinite(final["loss"])
+    assert int(tr.state.step) == 6
+
+
 def test_reproducible_given_seed():
     cfg = _tiny_cfg()
     images, poses = _tiny_scene()
