@@ -94,6 +94,17 @@ def make_train_step(cfg: TrainConfig,
         raise ValueError(
             f"n_rays={cfg.n_rays} must be divisible by the mesh size "
             f"{mesh.devices.size}")
+    if cfg.n_rays > cfg.height * cfg.width:
+        raise ValueError(
+            f"n_rays={cfg.n_rays} exceeds the {cfg.height}x{cfg.width} "
+            "pixel grid (sampling is without replacement)")
+    if cfg.precrop_iters > 0:
+        crop = (2 * int(cfg.height // 2 * cfg.precrop_frac)
+                * 2 * int(cfg.width // 2 * cfg.precrop_frac))
+        if cfg.n_rays > crop:
+            raise ValueError(
+                f"n_rays={cfg.n_rays} exceeds the precrop grid of {crop} "
+                f"pixels (precrop_frac={cfg.precrop_frac})")
     opt = make_optimizer(cfg.lr, cfg.lr_decay)
     rcfg = cfg.render
 

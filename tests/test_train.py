@@ -104,7 +104,9 @@ def test_precrop_transition_through_trainer():
     # The Trainer switches between the two compiled step variants at
     # precrop_iters (reference main.py:354-365); both must run and the
     # warm-up must restrict sampling without breaking the step.
-    cfg = _tiny_cfg(precrop_iters=3, precrop_frac=0.5)
+    # n_rays must fit the crop grid (16x16 * 0.5-crop -> 64 pixels) for
+    # no-replacement sampling.
+    cfg = _tiny_cfg(precrop_iters=3, precrop_frac=0.5, n_rays=32)
     images, poses = _tiny_scene()
     state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
                                lr_decay=cfg.lr_decay, mlp=TINY_MLP)
@@ -112,6 +114,15 @@ def test_precrop_transition_through_trainer():
     final = tr.run(1, 7)  # steps 1-2 precrop, 3-6 full grid
     assert np.isfinite(final["loss"])
     assert int(tr.state.step) == 6
+
+
+def test_oversized_n_rays_rejected_clearly():
+    import pytest
+    with pytest.raises(ValueError, match="precrop grid"):
+        make_train_step(_tiny_cfg(precrop_iters=3, precrop_frac=0.5,
+                                  n_rays=128))
+    with pytest.raises(ValueError, match="pixel grid"):
+        make_train_step(_tiny_cfg(n_rays=1 + 16 * 16))
 
 
 def test_reproducible_given_seed():
