@@ -71,7 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--no_ndc", action="store_true")
     p.add_argument("--spherify", action="store_true",
-                   help="accepted for reference parity (ignored there too)")
+                   help="spherify inward-facing LLFF captures (a working\n"
+                        " extension; the reference parses but ignores this)")
     p.add_argument("--llffhold", type=int, default=8)
 
     p.add_argument("--print_freq", type=int, default=100)

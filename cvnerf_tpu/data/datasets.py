@@ -40,7 +40,8 @@ class SceneData:
 def load_scene(data_dir: str, dtype: str, *,
                half_res: bool = False, testskip: int = 8,
                white_bkg: bool = False, factor: int = 8,
-               no_ndc: bool = False, llffhold: int = 8) -> SceneData:
+               no_ndc: bool = False, llffhold: int = 8,
+               spherify: bool = False) -> SceneData:
     """Load and normalize a scene for training."""
     if dtype == "blender":
         images, poses, render_poses, hwf, i_split, (near, far) = (
@@ -52,13 +53,15 @@ def load_scene(data_dir: str, dtype: str, *,
         ndc = False
     elif dtype == "llff":
         images, poses, render_poses, hwf, _, bounds = (
-            load_llff_data(data_dir, factor=factor))
+            load_llff_data(data_dir, factor=factor, spherify=spherify))
         n = images.shape[0]
         test_idx = np.arange(n)[::llffhold]
         val_idx = test_idx
         train_idx = np.array(
             [i for i in range(n) if i not in set(test_idx.tolist())])
-        if no_ndc:
+        if no_ndc or spherify:
+            # Spherified (inward-facing) captures are not forward-facing, so
+            # the NDC warp does not apply.
             near = float(bounds.min() * 0.9)
             far = float(bounds.max() * 1.0)
             ndc = False

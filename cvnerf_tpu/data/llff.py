@@ -30,6 +30,7 @@ except ImportError:  # pragma: no cover
 from cvnerf_tpu.data.poses import (
     average_pose,
     recenter_poses,
+    spherify_poses,
     spiral_render_path,
 )
 
@@ -120,7 +121,8 @@ def process_llff_poses(poses: np.ndarray, bounds: np.ndarray):
     return poses, render_poses, bounds, i_test
 
 
-def load_llff_data(topdir: str, factor: int | None = 8):
+def load_llff_data(topdir: str, factor: int | None = 8,
+                   spherify: bool = False):
     """Load an LLFF/COLMAP scene.
 
     Returns:
@@ -142,6 +144,8 @@ def load_llff_data(topdir: str, factor: int | None = 8):
         poses[:, 2, 4] = poses[:, 2, 4] / factor
 
     poses, render_poses, bounds, i_test = process_llff_poses(poses, bounds)
+    if spherify:
+        poses, render_poses, bounds = spherify_poses(poses, bounds)
 
     hwf = poses[0, :3, -1].copy()
     return (images.astype(np.float32), poses[:, :3, :4], render_poses, hwf,

@@ -102,6 +102,61 @@ def recenter_poses(poses: np.ndarray) -> np.ndarray:
     return out
 
 
+def spherify_poses(poses: np.ndarray, bounds: np.ndarray):
+    """Recenter an inward-facing (360°) capture onto the unit sphere and
+    build a circular render path.
+
+    The reference parses a ``--spherify`` flag but never implements it
+    (reference main.py:450, SURVEY.md §2.2 dead flags); this is the standard
+    LLFF treatment, provided as a working extension: find the point closest
+    to all camera optical axes (least squares), translate it to the origin,
+    scale so the mean camera distance is 1, and orbit a circle of render
+    cameras looking at the center.
+
+    Args:
+        poses: ``[N, 3, 5]`` recentered pose blocks (+hwf column).
+        bounds: ``[N, 2]`` depth bounds.
+    Returns:
+        (poses [N,3,5], render_poses [120,3,5], bounds [N,2]), all float32.
+    """
+    dirs = poses[:, :3, 2]                       # camera optical axes
+    origins = poses[:, :3, 3]
+    # Point minimizing sum of squared distances to the lines o + t·d:
+    # sum_i (I - d d^T) p = sum_i (I - d d^T) o.
+    eye = np.eye(3)
+    a = np.zeros((3, 3))
+    rhs = np.zeros(3)
+    for d, o in zip(dirs, origins):
+        d = d / np.linalg.norm(d)
+        m = eye - np.outer(d, d)
+        a += m
+        rhs += m @ o
+    # pinv: for (near-)parallel optical axes — e.g. a forward-facing capture
+    # passed through spherify — the system is singular along the shared
+    # axis; the pseudo-inverse picks the minimum-norm center.
+    center = np.linalg.pinv(a) @ rhs
+
+    out = poses.copy().astype(np.float32)
+    out[:, :3, 3] = origins - center
+    scale = 1.0 / np.mean(np.linalg.norm(out[:, :3, 3], axis=-1))
+    out[:, :3, 3] *= scale
+    bounds = (bounds * scale).astype(np.float32)
+
+    # Circular render path at the mean camera height, looking at the origin.
+    radius = float(np.mean(np.linalg.norm(out[:, :3, 3][:, :2], axis=-1)))
+    height = float(np.mean(out[:, 2, 3]))
+    up = out[:, :3, 1].sum(0)
+    up = up / np.linalg.norm(up)
+    hwf = out[0, :3, 4:5]
+    render = []
+    for theta in np.linspace(0.0, 2 * np.pi, 121)[:-1]:
+        pos = np.array([radius * np.cos(theta), radius * np.sin(theta),
+                        height])
+        z = pos / np.linalg.norm(pos)            # look at the origin
+        render.append(np.concatenate([view_matrix(z, up, pos), hwf], 1))
+    return out, np.stack(render, 0).astype(np.float32), bounds
+
+
 def spiral_render_path(c2w: np.ndarray, up: np.ndarray, radii: np.ndarray,
                        focus_depth: float, zrate: float = 0.5,
                        rots: int = 2, n: int = 120) -> np.ndarray:

@@ -48,7 +48,8 @@ def main(argv=None):
     scene = load_scene(
         args.data_dir, args.dtype, half_res=args.half_res,
         testskip=args.testskip, white_bkg=args.white_bkg,
-        factor=args.factor, no_ndc=args.no_ndc, llffhold=args.llffhold)
+        factor=args.factor, no_ndc=args.no_ndc, llffhold=args.llffhold,
+        spherify=args.spherify)
     print(f"Loaded {args.dtype} scene: {scene.images.shape[0]} images "
           f"{scene.height}x{scene.width} focal={scene.focal:.2f} "
           f"near={scene.near:.3f} far={scene.far:.3f} ndc={scene.ndc}")
