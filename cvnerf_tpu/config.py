@@ -9,8 +9,8 @@ reference configs use.
 
 Differences (all additive):
   * flags the reference parses but ignores are honored here — ``no_reload``,
-    ``ft_path``, ``render_only``, ``render_factor``, ``llffhold``
-    (SURVEY.md §2.2);
+    ``ft_path``, ``render_only``, ``render_factor``, ``llffhold``, and
+    ``spherify`` (SURVEY.md §2.2);
   * new flags for TPU-native features: ``--iters`` (the reference hardcodes
     100000 at main.py:341), ``--seed`` (reference is unseeded on device),
     ``--bf16``, ``--ndc_variant``, ``--ckpt_freq``, ``--val_freq``,
