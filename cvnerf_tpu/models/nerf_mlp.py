@@ -36,7 +36,6 @@ class NerfMLPConfig:
     dir_freqs: int = 4      # L for view directions (reference main.py:130)
     trunk_width: int = 256
     head_width: int = 128
-    use_viewdirs: bool = True
 
     @property
     def xyz_dim(self) -> int:

@@ -82,16 +82,23 @@ def ndc_rays(height: float, width: float, focal: float, near: float,
 
     ``variant="canonical"`` is the standard NeRF NDC warp (shift origins to
     the near plane along the ray direction, then apply the perspective map).
-    ``variant="reference"`` reproduces the reference's deviation at
-    ``data_helpers.py:330``, where the near-plane shift moves the origin along
-    *itself* (``o + t·o``) instead of along the ray — kept behind a flag for
-    bit-parity studies (SURVEY.md §2.3-3).
+    ``variant="reference"`` reproduces the reference's ``get_ndc``
+    (``data_helpers.py:327-344``) exactly, including both of its deviations
+    from canonical NeRF: (1) the near-plane shift moves the origin along
+    *itself* (``o + t·o``, data_helpers.py:330) instead of along the ray,
+    and (2) ``r_ori`` is overwritten with the NDC origin *before* the
+    direction components are computed (data_helpers.py:336-340), so the
+    reference's directions mix ray slopes with NDC-origin components. Kept
+    behind a flag for bit-parity studies (SURVEY.md §2.3-3).
 
     Args:
         rays_o, rays_d: ``[..., 3]`` world-space rays.
     Returns:
         (ndc origins, ndc directions), both ``[..., 3]``.
     """
+    sx = -1.0 / (width / (2.0 * focal))
+    sy = -1.0 / (height / (2.0 * focal))
+
     t = -(near + rays_o[..., 2]) / rays_d[..., 2]
     if variant == "reference":
         rays_o = rays_o + t[..., None] * rays_o
@@ -100,16 +107,22 @@ def ndc_rays(height: float, width: float, focal: float, near: float,
     else:
         raise ValueError(f"unknown NDC variant: {variant!r}")
 
-    sx = -1.0 / (width / (2.0 * focal))
-    sy = -1.0 / (height / (2.0 * focal))
-
     o0 = sx * rays_o[..., 0] / rays_o[..., 2]
     o1 = sy * rays_o[..., 1] / rays_o[..., 2]
     o2 = 1.0 + 2.0 * near / rays_o[..., 2]
 
-    d0 = sx * (rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2])
-    d1 = sy * (rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2])
-    d2 = -2.0 * near / rays_o[..., 2]
+    if variant == "reference":
+        # The reference computes directions AFTER overwriting the origin
+        # with its NDC coordinates (data_helpers.py:336-341).
+        d0 = sx * (rays_d[..., 0] / rays_d[..., 2] - o0 / o2)
+        d1 = sy * (rays_d[..., 1] / rays_d[..., 2] - o1 / o2)
+        d2 = -2.0 * near / o2
+    else:
+        d0 = sx * (rays_d[..., 0] / rays_d[..., 2]
+                   - rays_o[..., 0] / rays_o[..., 2])
+        d1 = sy * (rays_d[..., 1] / rays_d[..., 2]
+                   - rays_o[..., 1] / rays_o[..., 2])
+        d2 = -2.0 * near / rays_o[..., 2]
 
     ndc_o = jnp.stack([o0, o1, o2], axis=-1)
     ndc_d = jnp.stack([d0, d1, d2], axis=-1)

@@ -142,8 +142,9 @@ def render_rays(key: jax.Array,
             ``arange``); pass the *global* position when calling from a
             shard or chunk so randomness is partition-invariant.
     Returns:
-        dict with ``rgb`` (fine map), ``rgb_coarse``, plus ``acc``/``depth``/
-        ``weights`` extras of the fine pass.
+        dict with ``rgb`` (fine map), ``rgb_coarse``, plus the fine pass's
+        ``acc`` (accumulated opacity) and ``depth`` (expected termination
+        depth) extras.
     """
     n_rays = rays_o.shape[0]
     if ray_ids is None:

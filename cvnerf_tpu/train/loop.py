@@ -222,8 +222,13 @@ class Trainer:
         self._last_metrics: dict[str, Any] = {}
 
     def add_callback(self, every: int, fn: Callable) -> None:
-        """Register ``fn(step, trainer, metrics)`` to run every N steps."""
-        self.callbacks.append((every, fn))
+        """Register ``fn(step, trainer, metrics)`` to run every N steps.
+
+        ``every <= 0`` disables the callback (the CLI's 0-disables
+        convention for ``--print_freq``/``--vid_freq``/etc.).
+        """
+        if every > 0:
+            self.callbacks.append((every, fn))
 
     def run(self, start: int, iters: int) -> dict:
         """Train from ``start`` (exclusive of 0, matching the reference's

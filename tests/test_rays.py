@@ -84,15 +84,30 @@ def test_ndc_reference_variant_differs():
 
 
 def test_ndc_reference_variant_golden():
-    # Hand-derived from the reference formulas (data_helpers.py:327-344):
-    # shift o += t*o with t = -(1 + oz)/dz.
-    o = np.array([[0.2, 0.4, -2.0]])
-    d = np.array([[0.0, 0.0, -1.0]])
-    t = -(1.0 + o[0, 2]) / d[0, 2]   # = -1
-    o_shift = o[0] + t * o[0]        # = 2*o = [0.4, 0.8, -4.0]... t=-1 → o - o = 0
-    # t = -( 1 + (-2) ) / (-1) = -1 → o_shift = o + (-1)*o = 0 — degenerate,
-    # which is exactly the reference deviation's behavior; verify we produce
-    # the same NaN/inf-free structure only for the canonical variant.
-    ndc_o, _ = ndc_rays(8.0, 8.0, 4.0, 1.0, jnp.asarray(o), jnp.asarray(d),
-                        variant="canonical")
-    assert np.isfinite(np.asarray(ndc_o)).all()
+    # Numpy re-derivation of the reference get_ndc (data_helpers.py:327-344)
+    # including BOTH of its deviations: the o + t*o shift AND directions
+    # computed from the already-overwritten NDC origin.
+    rng = np.random.RandomState(0)
+    o = rng.randn(6, 3).astype(np.float32)
+    o[:, 2] = -np.abs(o[:, 2]) - 0.5
+    d = rng.randn(6, 3).astype(np.float32)
+    d[:, 2] = -np.abs(d[:, 2]) - 0.5
+    h, w, f, near = 10.0, 8.0, 4.0, 1.0
+
+    tm = -(near + o[:, 2]) / d[:, 2]
+    ro = o + tm[:, None] * o                      # deviation (1)
+    ori0 = -1.0 / (w / (2 * f)) * ro[:, 0] / ro[:, 2]
+    ori1 = -1.0 / (h / (2 * f)) * ro[:, 1] / ro[:, 2]
+    ori2 = 1.0 + 2.0 * near / ro[:, 2]
+    ndc_o_exp = np.stack([ori0, ori1, ori2], -1)  # r_ori overwritten here
+    dir0 = -1.0 / (w / (2 * f)) * (d[:, 0] / d[:, 2] - ori0 / ori2)
+    dir1 = -1.0 / (h / (2 * f)) * (d[:, 1] / d[:, 2] - ori1 / ori2)
+    dir2 = -2.0 * near / ori2                     # deviation (2)
+    ndc_d_exp = np.stack([dir0, dir1, dir2], -1)
+
+    ndc_o, ndc_d = ndc_rays(h, w, f, near, jnp.asarray(o), jnp.asarray(d),
+                            variant="reference")
+    np.testing.assert_allclose(np.asarray(ndc_o), ndc_o_exp, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ndc_d), ndc_d_exp, rtol=1e-5,
+                               atol=1e-6)
