@@ -56,6 +56,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _forward_flops(cfg: NerfMLPConfig) -> int:
+    """Exact per-point MAC-pair count of the forward pipeline (all 12
+    layers: trunk, skip, density head, feature, viewdir head, rgb)."""
+    w, h = cfg.trunk_width, cfg.head_width
+    macs = (cfg.xyz_dim * w          # l1
+            + 6 * w * w              # l2-l5, l7, l8
+            + (w + cfg.xyz_dim) * w  # l6 (split matmuls, same MACs)
+            + w * w                  # l9 feature
+            + w                      # alpha head
+            + (w + cfg.dir_dim) * h  # l10 (split matmuls)
+            + 3 * h)                 # l11 rgb
+    return 2 * macs
+
+
 def _encoding_constants(n_freqs: int, pad_to: int):
     """Constant (P, id/sin/cos masks) arrays realizing freq_encode as
     ``mask_id*(P@x) + mask_sin*sin(P@x) + mask_cos*cos(P@x)``.
@@ -130,56 +144,93 @@ def _pack_params(params: dict, cfg: NerfMLPConfig, compute_dtype: Any):
     return ops
 
 
+def _layer_precision(compute_dtype):
+    """Mosaic executes fp32 dots as single-pass bf16 under DEFAULT
+    precision; demand full fp32 when the compute dtype is fp32."""
+    return (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
+def _encode_inputs(x_ref, d_ref, px, mix, msx, mcx, pd, mid, msd, mcd):
+    """In-kernel frequency encodings (fp32 trig and exact phase scaling:
+    bf16 mantissas are useless at 2^9·x phase magnitudes).
+
+    Returns (enc_x, enc_d), both fp32 ``[EX/ED, T]``.
+    """
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+
+    def mm_exact(a, b):
+        return jnp.dot(a[:], b, preferred_element_type=f32, precision=hi)
+
+    s = mm_exact(px, x_ref[:])                     # [EX, T]
+    enc_x = mix[:] * s + msx[:] * jnp.sin(s) + mcx[:] * jnp.cos(s)
+    sd = mm_exact(pd, d_ref[:])                    # [ED, T]
+    enc_d = mid[:] * sd + msd[:] * jnp.sin(sd) + mcd[:] * jnp.cos(sd)
+    return enc_x, enc_d
+
+
+def _forward_body(enc_xc, enc_d_c,
+                  w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                  w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
+                  wa, ba, w10a, w10b, b10, w11, b11,
+                  compute_dtype, want_intermediates=True):
+    """The full 12-layer MLP on pre-cast encodings — shared by the forward
+    kernel and the backward kernel's recompute, so their relu masks and
+    cast points agree *structurally* (gradient correctness depends on the
+    recompute being bit-identical to the forward).
+
+    Args are weight/bias *refs* (indexed here) plus compute-dtype
+    encodings. With ``want_intermediates`` (the backward recompute) every
+    intermediate is returned; without it only ``(sigma, rgb)`` — returning
+    dead intermediates from the forward kernel extended their buffer
+    lifetimes in Mosaic and cost ~30% kernel time.
+    """
+    f32 = jnp.float32
+    cdt = compute_dtype
+    prec = _layer_precision(cdt)
+    relu = jax.nn.relu
+
+    def mm(a, b):
+        # Mosaic requires 32-bit matmul accumulators; results are cast back
+        # to the compute dtype after the bias+relu.
+        return jnp.dot(a[:], b, preferred_element_type=f32, precision=prec)
+
+    h1 = relu(mm(w1, enc_xc) + b1[:]).astype(cdt)
+    h2 = relu(mm(w2, h1) + b2[:]).astype(cdt)
+    h3 = relu(mm(w3, h2) + b3[:]).astype(cdt)
+    h4 = relu(mm(w4, h3) + b4[:]).astype(cdt)
+    h5 = relu(mm(w5, h4) + b5[:]).astype(cdt)
+    h6 = relu(mm(w6a, h5) + mm(w6b, enc_xc) + b6[:]).astype(cdt)
+    h7 = relu(mm(w7, h6) + b7[:]).astype(cdt)
+    h8 = relu(mm(w8, h7) + b8[:]).astype(cdt)
+
+    sigma = mm(wa, h8) + ba[:]                    # [8, T] f32, row 0 real
+    feat = (mm(w9, h8) + b9[:]).astype(cdt)       # no ReLU (model.py:101)
+
+    h10 = relu(mm(w10a, feat) + mm(w10b, enc_d_c) + b10[:]).astype(cdt)
+    rgb = mm(w11, h10) + b11[:]                   # [8, T] f32, rows 0:3 real
+
+    if want_intermediates:
+        return h1, h2, h3, h4, h5, h6, h7, h8, feat, h10, sigma, rgb
+    return sigma, rgb
+
+
 def _kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
             x_ref, d_ref,
             w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
             w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
             wa, ba, w10a, w10b, b10, w11, b11,
             o_ref, *, compute_dtype):
-    f32 = jnp.float32
     cdt = compute_dtype
-    # Mosaic executes fp32 dots as single-pass bf16 under DEFAULT precision;
-    # demand full fp32 when the compute dtype is fp32.
-    layer_prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
-                  else jax.lax.Precision.HIGHEST)
-
-    def mm(a, b):
-        # Mosaic requires 32-bit matmul accumulators; results are cast back
-        # to the compute dtype after the bias+relu.
-        return jnp.dot(a[:], b, preferred_element_type=f32,
-                       precision=layer_prec)
-
-    def mm_exact(a, b):
-        return jnp.dot(a[:], b, preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)
-
-    # --- encodings (fp32 trig and exact phase scaling: bf16 mantissas are
-    # useless at 2^9·x phase magnitudes) ---
-    x = x_ref[:]                                   # [4, T] f32
-    s = mm_exact(px, x)                            # [EX, T]
-    enc_x = mix[:] * s + msx[:] * jnp.sin(s) + mcx[:] * jnp.cos(s)
-    d = d_ref[:]
-    sd = mm_exact(pd, d)                           # [ED, T]
-    enc_d = mid[:] * sd + msd[:] * jnp.sin(sd) + mcd[:] * jnp.cos(sd)
-
-    enc_xc = enc_x.astype(cdt)
-    relu = jax.nn.relu
-
-    h = relu(mm(w1, enc_xc) + b1[:]).astype(cdt)
-    h = relu(mm(w2, h) + b2[:]).astype(cdt)
-    h = relu(mm(w3, h) + b3[:]).astype(cdt)
-    h = relu(mm(w4, h) + b4[:]).astype(cdt)
-    h = relu(mm(w5, h) + b5[:]).astype(cdt)
-    h = relu(mm(w6a, h) + mm(w6b, enc_xc) + b6[:]).astype(cdt)
-    h = relu(mm(w7, h) + b7[:]).astype(cdt)
-    h8 = relu(mm(w8, h) + b8[:]).astype(cdt)
-
-    sigma = mm(wa, h8) + ba[:]                   # [8, T] f32, row 0 real
-    feat = (mm(w9, h8) + b9[:]).astype(cdt)        # no ReLU (model.py:101)
-
-    h10 = relu(mm(w10a, feat) + mm(w10b, enc_d.astype(cdt)) + b10[:])
-    rgb = mm(w11, h10.astype(cdt)) + b11[:]      # [8, T] f32, rows 0:3 real
-
+    enc_x, enc_d = _encode_inputs(x_ref, d_ref, px, mix, msx, mcx,
+                                  pd, mid, msd, mcd)
+    sigma, rgb = _forward_body(
+        enc_x.astype(cdt), enc_d.astype(cdt),
+        w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+        w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
+        wa, ba, w10a, w10b, b10, w11, b11, cdt,
+        want_intermediates=False)
     o_ref[:] = jnp.concatenate([rgb[0:3, :], sigma[0:1, :]], axis=0)
 
 
@@ -207,10 +258,18 @@ def fused_nerf_apply(params: dict,
     Returns:
         ``[n, 4]`` raw (rgb, sigma), float32.
     """
-    # fp32 activations double the VMEM working set; cap the tile so the
-    # full-size model stays under the 16 MB scoped-VMEM limit.
-    if compute_dtype == jnp.float32:
-        tile = min(tile, 2048)
+    # Cap the tile so the full-size model stays under the 16 MB scoped-VMEM
+    # limit (fp32 activations double the working set).
+    tile = min(tile, 2048 if compute_dtype == jnp.float32 else 4096)
+    if tile % 128 != 0:
+        raise ValueError(f"tile={tile} must be a multiple of 128 (lanes)")
+    for name, width in (("trunk_width", cfg.trunk_width),
+                        ("head_width", cfg.head_width)):
+        if width % 8 != 0:
+            raise ValueError(
+                f"{name}={width} must be a multiple of 8 for the fused "
+                "kernel (sublane alignment); use pallas='off' for odd "
+                "widths")
     n = points.shape[0]
     n_pad = _round_up(max(n, tile), tile)
 
@@ -253,11 +312,9 @@ def fused_nerf_apply(params: dict,
         out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * (cfg.xyz_dim * cfg.trunk_width
-                               + 8 * cfg.trunk_width ** 2
-                               + cfg.trunk_width * cfg.head_width),
+            flops=_forward_flops(cfg) * n_pad,
             bytes_accessed=n_pad * 32,
-            transcendentals=n_pad * (ex + ed),
+            transcendentals=2 * n_pad * (ex + ed),  # sin AND cos per row
         ),
     )(*consts, x_t, d_t, *wops)
 

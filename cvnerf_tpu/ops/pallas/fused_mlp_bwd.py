@@ -30,7 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
 from cvnerf_tpu.ops.pallas.fused_mlp import (
+    _encode_inputs,
     _encoding_constants,
+    _forward_body,
+    _forward_flops,
+    _layer_precision,
     _pack_params,
     _round_up,
     fused_nerf_apply,
@@ -52,13 +56,7 @@ def _bwd_kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
                 *out_refs, compute_dtype):
     f32 = jnp.float32
     cdt = compute_dtype
-    prec = (jax.lax.Precision.DEFAULT if cdt == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
-    hi = jax.lax.Precision.HIGHEST
-
-    def mm(a, b, precision=None):
-        return jnp.dot(a, b, preferred_element_type=f32,
-                       precision=precision or prec)
+    prec = _layer_precision(cdt)
 
     def mm_ct(a, b):
         """Contract the leading (out) dims: W[o,i] x d[o,T] -> [i,T]."""
@@ -72,29 +70,17 @@ def _bwd_kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=f32, precision=prec)
 
-    relu = jax.nn.relu
-
-    # ---- forward recompute (identical ops/dtypes to the fwd kernel, so
-    # relu masks match bit-for-bit) ----
-    x = x_ref[:]
-    s = mm(px[:], x, precision=hi)
-    enc_x = mix[:] * s + msx[:] * jnp.sin(s) + mcx[:] * jnp.cos(s)
-    d = d_ref[:]
-    sd = mm(pd[:], d, precision=hi)
-    enc_d = (mid[:] * sd + msd[:] * jnp.sin(sd)
-             + mcd[:] * jnp.cos(sd)).astype(cdt)
+    # ---- forward recompute via the SAME body as the forward kernel, so
+    # relu masks and cast points match bit-for-bit by construction ----
+    enc_x, enc_d_f32 = _encode_inputs(x_ref, d_ref, px, mix, msx, mcx,
+                                      pd, mid, msd, mcd)
     enc_xc = enc_x.astype(cdt)
-
-    h1 = relu(mm(w1[:], enc_xc) + b1[:]).astype(cdt)
-    h2 = relu(mm(w2[:], h1) + b2[:]).astype(cdt)
-    h3 = relu(mm(w3[:], h2) + b3[:]).astype(cdt)
-    h4 = relu(mm(w4[:], h3) + b4[:]).astype(cdt)
-    h5 = relu(mm(w5[:], h4) + b5[:]).astype(cdt)
-    h6 = relu(mm(w6a[:], h5) + mm(w6b[:], enc_xc) + b6[:]).astype(cdt)
-    h7 = relu(mm(w7[:], h6) + b7[:]).astype(cdt)
-    h8 = relu(mm(w8[:], h7) + b8[:]).astype(cdt)
-    feat = (mm(w9[:], h8) + b9[:]).astype(cdt)
-    h10 = relu(mm(w10a[:], feat) + mm(w10b[:], enc_d) + b10[:]).astype(cdt)
+    enc_d = enc_d_f32.astype(cdt)
+    (h1, h2, h3, h4, h5, h6, h7, h8, feat, h10, _sigma, _rgb) = \
+        _forward_body(enc_xc, enc_d,
+                      w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                      w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
+                      wa, ba, w10a, w10b, b10, w11, b11, cdt)
 
     # ---- backward ----
     g = g_ref[:]                                   # [8, T] f32
@@ -223,11 +209,9 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
         out_shape=out_shapes,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=6 * n_pad * (cfg.xyz_dim * cfg.trunk_width
-                               + 8 * cfg.trunk_width ** 2
-                               + cfg.trunk_width * cfg.head_width),
+            flops=3 * _forward_flops(cfg) * n_pad,  # recompute+dgrad+wgrad
             bytes_accessed=n_pad * 64,
-            transcendentals=n_pad * (ex + ed),
+            transcendentals=2 * n_pad * (ex + ed),
         ),
     )(*consts, x_t, d_t, g_t, *wops)
     return dict(zip(_GRAD_NAMES, grads))

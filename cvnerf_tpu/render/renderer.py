@@ -73,7 +73,7 @@ def _query_mlp(params: dict, points: jnp.ndarray, viewdirs: jnp.ndarray,
     oracle, whose encoding XLA fuses into the first matmul's operand.
     """
     if cfg.resolve_pallas():
-        from cvnerf_tpu.ops.pallas.fused_mlp_bwd import fused_nerf_train_apply
+        from cvnerf_tpu.ops.pallas import fused_nerf_train_apply
         n_rays, n_samples = points.shape[:2]
         pts_flat = points.reshape(-1, 3)
         dirs_flat = jnp.broadcast_to(

@@ -57,6 +57,34 @@ def test_param_grads_match_oracle(cfg):
                 err_msg=f"{name}/{k}")
 
 
+def test_bf16_param_grads_close_to_oracle():
+    """The production --bf16 training path: bf16 kernel gradients must track
+    the fp32 oracle to bf16 tolerance (relative to each layer's scale)."""
+    cfg = TINY
+    params, pts, dirs, tgt = _setup(cfg)
+
+    def bf16_loss(p):
+        out = fused_nerf_train_apply(p, pts, dirs, cfg, jnp.bfloat16, 128,
+                                     True)
+        return jnp.mean((out - tgt) ** 2)
+
+    g_oracle = jax.grad(_oracle_loss)(params, pts, dirs, tgt, cfg)
+    g_bf16 = jax.grad(bf16_loss)(params)
+    for name in g_oracle:
+        for k in ("w", "b"):
+            a = np.asarray(g_oracle[name][k])
+            b = np.asarray(g_bf16[name][k])
+            scale = max(np.abs(a).max(), 1e-8)
+            # Interpret mode quantizes to true bf16 (no TPU excess
+            # precision), so per-element error can reach ~2^-4 of the
+            # layer's gradient scale.
+            np.testing.assert_allclose(
+                b / scale, a / scale, rtol=0, atol=8e-2,
+                err_msg=f"{name}/{k}")
+            # Gradients are alive, not zeroed by a bad mask/cast.
+            assert np.abs(b).max() > 0, (name, k)
+
+
 def test_value_matches_forward():
     params, pts, dirs, tgt = _setup(TINY)
     v_fused = float(_fused_loss(params, pts, dirs, tgt, TINY))
