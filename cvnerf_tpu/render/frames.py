@@ -70,7 +70,7 @@ def render(key: jax.Array,
            chunk: int = 32768,
            rays: tuple[jnp.ndarray, jnp.ndarray] | None = None,
            c2w: jnp.ndarray | None = None,
-           ndc: bool = False,
+           ndc: bool = True,
            near: float = 0.0,
            far: float = 1.0,
            cfg: RenderConfig = RenderConfig(),
@@ -78,6 +78,10 @@ def render(key: jax.Array,
     """Reference-shaped convenience entry (reference ``render``,
     main.py:49-87): render either a full image from ``c2w`` or an arbitrary
     ``(origins, directions)`` ray batch.
+
+    ``ndc`` defaults to True exactly like the reference (main.py:49) —
+    pass ``ndc=False`` for anything that is not a forward-facing LLFF
+    scene (the reference's ``create_model`` does the same, main.py:160-161).
 
     Returns ``(rgb, extras)`` where ``extras`` carries ``rgb_coarse`` /
     ``acc`` / ``depth`` — the reference returns ``[rgb_map, {'rgb_c': ...}]``.
@@ -133,6 +137,9 @@ def render_poses_to_frames(key: jax.Array,
     if factor:
         height, width = height // factor, width // factor
         focal = focal / factor
+
+    if len(poses) == 0:
+        return np.zeros((0, height, width, 3), np.float32)
 
     keys = jax.random.split(key, len(poses))
     pending: list[tuple[int, dict]] = []

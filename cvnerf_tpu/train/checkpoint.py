@@ -28,14 +28,37 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 
 def save_checkpoint(ckpt_dir: str, state: TrainState,
                     max_to_keep: int = 3) -> None:
-    """Save the train state at its current step."""
+    """Save the train state at its current step.
+
+    Raises if orbax refuses the save (its manager silently skips steps that
+    are <= the directory's latest step — e.g. a fresh ``--no_reload`` run
+    pointed at a dir holding an older run's later checkpoints would
+    otherwise lose every save while appearing to succeed).
+    """
     mgr = _manager(ckpt_dir, max_to_keep)
     step = int(state.step)
-    mgr.save(step, args=ocp.args.StandardSave(
-        {"params": state.params, "opt_state": state.opt_state,
-         "step": np.asarray(step, np.int32)}))
-    mgr.wait_until_finished()
-    mgr.close()
+    try:
+        existing = mgr.latest_step()
+        if existing is not None:
+            if step == existing:
+                return  # this step is already saved (e.g. the final save
+                        # landing on the last periodic save) — benign
+            if step < existing:
+                raise RuntimeError(
+                    f"refusing to save step {step} into {ckpt_dir} whose "
+                    f"latest step is {existing}: the newer checkpoint "
+                    "would shadow this one at resume time; remove or move "
+                    "the stale checkpoint directory")
+        saved = mgr.save(step, args=ocp.args.StandardSave(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": np.asarray(step, np.int32)}))
+        mgr.wait_until_finished()
+        if not saved:
+            raise RuntimeError(
+                f"orbax skipped the checkpoint save at step {step} in "
+                f"{ckpt_dir}")
+    finally:
+        mgr.close()
 
 
 def latest_step(ckpt_dir: str) -> int | None:

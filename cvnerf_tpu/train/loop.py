@@ -230,6 +230,16 @@ class Trainer:
         if every > 0:
             self.callbacks.append((every, fn))
 
+    def _finalize_metrics(self, metrics: dict, rays_done: int,
+                          t0: float) -> dict:
+        m = {k: float(v) for k, v in metrics.items()}
+        if rays_done > 0:
+            m["rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
+        else:  # run ended on a callback step; keep the last window's rate
+            m["rays_per_sec"] = self._last_metrics.get("rays_per_sec", 0.0)
+        self._last_metrics = m
+        return m
+
     def run(self, start: int, iters: int) -> dict:
         """Train from ``start`` (exclusive of 0, matching the reference's
         1-based loop, ``main.py:343-344``) up to ``iters - 1``."""
@@ -244,14 +254,17 @@ class Trainer:
                 self.state, key, self.images, self.poses, self.train_idx,
                 precrop)
             rays_done += self.cfg.n_rays
+            fired = False
             for every, fn in self.callbacks:
                 if i % every == 0 and i > 0:
                     # Sync point: pull metrics only when a callback fires.
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m["rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
-                    self._last_metrics = m
-                    fn(i, self, m)
-        m = {k: float(v) for k, v in metrics.items()}
-        m["rays_per_sec"] = rays_done / max(time.time() - t0, 1e-9)
-        self._last_metrics = m
-        return m
+                    fn(i, self, self._finalize_metrics(metrics, rays_done,
+                                                       t0))
+                    fired = True
+            if fired:
+                # Restart the throughput window so slow callbacks (video
+                # renders, checkpoint writes) don't pollute rays_per_sec
+                # for the rest of the run.
+                t0 = time.time()
+                rays_done = 0
+        return self._finalize_metrics(metrics, rays_done, t0)

@@ -38,7 +38,11 @@ def main(argv=None):
     from cvnerf_tpu.parallel.mesh import make_mesh
     from cvnerf_tpu.render.frames import render_poses_to_frames
     from cvnerf_tpu.render.renderer import RenderConfig
-    from cvnerf_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from cvnerf_tpu.train.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
     from cvnerf_tpu.train.loop import TrainConfig, Trainer
     from cvnerf_tpu.train.state import create_train_state
     from cvnerf_tpu.utils.image import psnr_images, write_png, write_video
@@ -96,6 +100,13 @@ def main(argv=None):
         if restored is not None:
             state, start = restored, int(restored.step)
             print(f"Resumed from checkpoint at step {start}")
+    elif os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        # --no_reload restarts from scratch; move the old run's checkpoints
+        # aside so the fresh run's (lower-step) saves aren't shadowed by
+        # stale higher-step ones at resume time.
+        backup = f"{ckpt_dir}.bak-{latest_step(ckpt_dir)}"
+        os.rename(ckpt_dir, backup)
+        print(f"--no_reload: moved existing checkpoints to {backup}")
 
     mesh = make_mesh()
     n_dev = mesh.devices.size

@@ -28,7 +28,8 @@ def test_render_with_c2w():
     cfg = RenderConfig(n_coarse=8, n_fine=8, mlp=TINY).eval_mode()
     c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]])
     rgb, extras = render(jax.random.PRNGKey(0), _params(), 8, 10, 9.0,
-                         chunk=64, c2w=c2w, near=2.0, far=6.0, cfg=cfg)
+                         chunk=64, c2w=c2w, ndc=False, near=2.0, far=6.0,
+                         cfg=cfg)
     assert rgb.shape == (8, 10, 3)
     assert extras["rgb_coarse"].shape == (8, 10, 3)
     assert extras["acc"].shape == (8, 10)
@@ -39,10 +40,10 @@ def test_render_with_ray_batch_matches_c2w():
     c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]])
     key = jax.random.PRNGKey(0)
     rgb_img, _ = render(key, _params(), 8, 10, 9.0, chunk=64, c2w=c2w,
-                        near=2.0, far=6.0, cfg=cfg)
+                        ndc=False, near=2.0, far=6.0, cfg=cfg)
     rays = ray_grid(8, 10, 9.0, c2w)
     rgb_rays, _ = render(key, _params(), 8, 10, 9.0, chunk=64, rays=rays,
-                         near=2.0, far=6.0, cfg=cfg)
+                         ndc=False, near=2.0, far=6.0, cfg=cfg)
     assert rgb_rays.shape == (8, 10, 3)
     np.testing.assert_allclose(np.asarray(rgb_img), np.asarray(rgb_rays),
                                rtol=1e-4, atol=1e-5)
@@ -52,3 +53,19 @@ def test_render_requires_exactly_one_source():
     cfg = RenderConfig(n_coarse=4, n_fine=0, mlp=TINY).eval_mode()
     with pytest.raises(ValueError, match="exactly one"):
         render(jax.random.PRNGKey(0), _params(), 8, 8, 9.0, cfg=cfg)
+
+
+def test_render_defaults_to_ndc_like_reference():
+    # The reference render() defaults ndc=True (main.py:49); ours matches.
+    cfg = RenderConfig(n_coarse=4, n_fine=0, mlp=TINY).eval_mode()
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0.0]])
+    key = jax.random.PRNGKey(0)
+    default_out, _ = render(key, _params(), 8, 8, 10.0, chunk=64, c2w=c2w,
+                            cfg=cfg)
+    ndc_out, _ = render(key, _params(), 8, 8, 10.0, chunk=64, c2w=c2w,
+                        ndc=True, cfg=cfg)
+    non_ndc, _ = render(key, _params(), 8, 8, 10.0, chunk=64, c2w=c2w,
+                        ndc=False, cfg=cfg)
+    np.testing.assert_array_equal(np.asarray(default_out),
+                                  np.asarray(ndc_out))
+    assert not np.allclose(np.asarray(default_out), np.asarray(non_ndc))
