@@ -55,7 +55,6 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
 
     # Synthetic lego-shaped dataset (the real capture is not bundled; the
     # compute is shape-identical).
-    rng = np.random.RandomState(0)
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     img = np.stack([xx / W, yy / H, ((xx + yy) % 40) / 40.0],
                    -1).astype(np.float32)
@@ -94,7 +93,8 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
 
     def do_render():
         out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
-                           focal, c2w, 2.0, 6.0, rcfg_test, chunk=8192)
+                           focal, c2w, 2.0, 6.0, rcfg_test, chunk=8192,
+                           mesh=mesh if n_chips > 1 else None)
         np.asarray(out["rgb"])
         return out
 

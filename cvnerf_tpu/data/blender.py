@@ -75,6 +75,9 @@ def load_blender_data(basedir: str, half_res: bool = False,
     render_poses = spherical_render_poses(n=40, phi_deg=-30.0, radius=4.0)
 
     if half_res:
+        if cv2 is None:
+            raise ImportError(
+                "opencv-python is required for half_res resizing")
         height, width = height // 2, width // 2
         focal = focal / 2.0
         resized = np.zeros((imgs.shape[0], height, width, imgs.shape[-1]),

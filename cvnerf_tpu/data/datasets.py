@@ -52,13 +52,20 @@ def load_scene(data_dir: str, dtype: str, *,
         poses = poses[:, :3, :4]
         ndc = False
     elif dtype == "llff":
-        images, poses, render_poses, hwf, _, bounds = (
+        images, poses, render_poses, hwf, i_holdout, bounds = (
             load_llff_data(data_dir, factor=factor, spherify=spherify))
         n = images.shape[0]
-        test_idx = np.arange(n)[::llffhold]
+        if llffhold > 0:
+            test_idx = np.arange(n)[::llffhold]
+        else:
+            # llffhold <= 0: the NeRF-lineage fallback — hold out the single
+            # view closest to the average pose (the loader's i_test, which
+            # the reference computes at data_helpers.py:304-306 and then
+            # discards in favor of the ::8 split).
+            test_idx = np.array([i_holdout])
         val_idx = test_idx
-        train_idx = np.array(
-            [i for i in range(n) if i not in set(test_idx.tolist())])
+        test_set = set(test_idx.tolist())
+        train_idx = np.array([i for i in range(n) if i not in test_set])
         if no_ndc or spherify:
             # Spherified (inward-facing) captures are not forward-facing, so
             # the NDC warp does not apply.

@@ -60,6 +60,9 @@ def _read_images(topdir: str, factor: int | None):
     for path in files:
         img = imageio.imread(path)
         if factor:
+            if cv2 is None:
+                raise ImportError(
+                    "opencv-python is required for factor downsampling")
             h, w = img.shape[:2]
             img = cv2.resize(img, (int(w / factor), int(h / factor)),
                              interpolation=cv2.INTER_AREA)

@@ -227,7 +227,8 @@ def main(argv=None):
                       scene.height, scene.width, scene.focal,
                       jnp.asarray(scene.poses[int(i)]), scene.near,
                       scene.far, rcfg_test, ndc=scene.ndc,
-                      ndc_variant=args.ndc_variant, chunk=render_chunk)
+                      ndc_variant=args.ndc_variant, chunk=render_chunk,
+                      mesh=mesh if n_dev > 1 else None)
             psnrs.append(psnr_images(np.asarray(out["rgb"]),
                                      scene.images[int(i)]))
         logger.log(int(trainer.state.step),

@@ -247,6 +247,15 @@ def test_load_scene_llff_ndc(llff_dir):
     assert scene.train_idx.shape == (7,)
 
 
+def test_load_scene_llffhold_zero_uses_closest_holdout(llff_dir):
+    # llffhold <= 0 falls back to the loader's closest-to-average view
+    # (the NeRF-lineage semantics the reference computes then discards).
+    scene = load_scene(llff_dir, "llff", factor=None, llffhold=0)
+    assert scene.test_idx.shape == (1,)
+    assert 0 <= int(scene.test_idx[0]) < 9
+    assert scene.train_idx.shape == (8,)
+
+
 def test_load_scene_llff_no_ndc(llff_dir):
     scene = load_scene(llff_dir, "llff", factor=None, no_ndc=True)
     assert scene.ndc is False
