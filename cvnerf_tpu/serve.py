@@ -1,0 +1,92 @@
+"""Serving: load a trained checkpoint once, render views on demand.
+
+The reference has no inference story beyond re-running its training script
+(SURVEY.md §2); this module is the deployment-facing API: one object owns the
+restored parameters (replicated over the device mesh when present) and the
+compiled render programs, so repeated pose requests hit cached executables.
+
+Example::
+
+    r = NerfRenderer("logs/lego/checkpoints", height=400, width=400,
+                     focal=555.0, near=2.0, far=6.0, white_bkg=True)
+    rgb = r.render_pose(c2w)                  # [H, W, 3] float32 in [0, 1]
+    frames = r.render_video(spiral_poses)     # [N, H, W, 3]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+from cvnerf_tpu.parallel.mesh import make_mesh, replicated_sharding
+from cvnerf_tpu.render.frames import render_image, render_poses_to_frames
+from cvnerf_tpu.render.renderer import RenderConfig
+from cvnerf_tpu.train.checkpoint import restore_checkpoint
+from cvnerf_tpu.train.state import create_train_state
+
+
+class NerfRenderer:
+    """A checkpoint loaded for repeated novel-view rendering."""
+
+    def __init__(self, ckpt_dir: str, *,
+                 height: int, width: int, focal: float,
+                 near: float, far: float,
+                 ndc: bool = False,
+                 ndc_variant: str = "canonical",
+                 cfg: RenderConfig | None = None,
+                 mlp: NerfMLPConfig = NerfMLPConfig(),
+                 chunk: int = 8192,
+                 seed: int = 0,
+                 step: int | None = None,
+                 use_mesh: bool = True):
+        if cfg is None:
+            cfg = RenderConfig(mlp=mlp)
+        # Rendering always runs in eval mode (no jitter/noise), matching the
+        # reference's test kwargs (main.py:163-165).
+        self.cfg = cfg.eval_mode()
+        if self.cfg.mlp != mlp:
+            self.cfg = dataclasses.replace(self.cfg, mlp=mlp)
+        self.height, self.width, self.focal = int(height), int(width), focal
+        self.near, self.far = float(near), float(far)
+        self.ndc, self.ndc_variant = ndc, ndc_variant
+        self.chunk = chunk
+        self._key = jax.random.PRNGKey(seed)
+
+        template = create_train_state(jax.random.PRNGKey(0), mlp=mlp)
+        restored = restore_checkpoint(ckpt_dir, template, step=step)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+        self.step = int(restored.step)
+        self.params = restored.params
+
+        mesh = make_mesh() if use_mesh else None
+        self.mesh = mesh if (mesh is not None
+                             and mesh.devices.size > 1) else None
+        if self.mesh is not None:
+            self.params = jax.device_put(
+                self.params, replicated_sharding(self.mesh))
+
+    def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
+        """Render one ``[H, W, 3]`` view from a ``[3+,4]`` c2w pose."""
+        import jax.numpy as jnp
+        h, w, f = self.height, self.width, self.focal
+        if factor:
+            h, w, f = h // factor, w // factor, f / factor
+        out = render_image(self._key, self.params, h, w, f,
+                           jnp.asarray(c2w)[:3, :4], self.near, self.far,
+                           self.cfg, ndc=self.ndc,
+                           ndc_variant=self.ndc_variant, chunk=self.chunk,
+                           mesh=self.mesh)
+        return np.asarray(out["rgb"])
+
+    def render_video(self, poses, factor: int = 0,
+                     on_frame=None) -> np.ndarray:
+        """Render a pose sequence to ``[N, H, W, 3]``, pipelined."""
+        return render_poses_to_frames(
+            self._key, self.params, poses, self.height, self.width,
+            self.focal, self.near, self.far, self.cfg, ndc=self.ndc,
+            ndc_variant=self.ndc_variant, chunk=self.chunk, factor=factor,
+            on_frame=on_frame, mesh=self.mesh)
