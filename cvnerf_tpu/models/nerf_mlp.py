@@ -94,9 +94,14 @@ def _dense(params: dict, name: str, x: jnp.ndarray,
            compute_dtype: Any) -> jnp.ndarray:
     w = params[name]["w"].astype(compute_dtype)
     b = params[name]["b"]
-    # fp32 accumulation on the MXU regardless of compute dtype.
+    # fp32 accumulation on the MXU regardless of compute dtype. For fp32
+    # compute, demand HIGHEST precision: the TPU otherwise runs fp32 dots as
+    # single-pass bf16 (the same pitfall the Pallas kernel guards against),
+    # which would silently degrade the oracle below its own kernel.
+    prec = (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     y = jnp.dot(x.astype(compute_dtype), w,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
     return y + b
 
 

@@ -8,9 +8,15 @@ compiled render programs, so repeated pose requests hit cached executables.
 Example::
 
     r = NerfRenderer("logs/lego/checkpoints", height=400, width=400,
-                     focal=555.0, near=2.0, far=6.0, white_bkg=True)
+                     focal=555.0, near=2.0, far=6.0,
+                     cfg=RenderConfig(white_bkg=True))
     rgb = r.render_pose(c2w)                  # [H, W, 3] float32 in [0, 1]
     frames = r.render_video(spiral_poses)     # [N, H, W, 3]
+
+Serving is deterministic by default: the inverse-CDF importance resampling
+uses the evenly-spaced eval path (``deterministic=True``), so a pose always
+renders the same image. Pass ``deterministic=False`` for the reference's
+stochastic eval resampling (main.py:163-165 keeps it stochastic).
 """
 
 from __future__ import annotations
@@ -37,18 +43,28 @@ class NerfRenderer:
                  ndc: bool = False,
                  ndc_variant: str = "canonical",
                  cfg: RenderConfig | None = None,
-                 mlp: NerfMLPConfig = NerfMLPConfig(),
+                 mlp: NerfMLPConfig | None = None,
                  chunk: int = 8192,
                  seed: int = 0,
                  step: int | None = None,
+                 deterministic: bool = True,
                  use_mesh: bool = True):
+        # One source of truth for the architecture: an explicit cfg's mlp
+        # wins; the mlp kwarg is only a shorthand when no cfg is given.
         if cfg is None:
-            cfg = RenderConfig(mlp=mlp)
+            cfg = RenderConfig(mlp=mlp if mlp is not None
+                               else NerfMLPConfig())
+        elif mlp is not None and cfg.mlp != mlp:
+            raise ValueError(
+                "conflicting architectures: cfg.mlp != mlp — pass the "
+                "architecture through cfg, or omit the mlp kwarg")
+        mlp = cfg.mlp
         # Rendering always runs in eval mode (no jitter/noise), matching the
         # reference's test kwargs (main.py:163-165).
         self.cfg = cfg.eval_mode()
-        if self.cfg.mlp != mlp:
-            self.cfg = dataclasses.replace(self.cfg, mlp=mlp)
+        if deterministic:
+            self.cfg = dataclasses.replace(self.cfg,
+                                           deterministic_resample=True)
         self.height, self.width, self.focal = int(height), int(width), focal
         self.near, self.far = float(near), float(far)
         self.ndc, self.ndc_variant = ndc, ndc_variant

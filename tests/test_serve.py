@@ -17,7 +17,13 @@ TINY = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32, head_width=16)
 def ckpt_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("serve") / "ckpt")
     state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
-    state = TrainState(params=state.params, opt_state=state.opt_state,
+    # Bias the density heads positive so renders are non-trivial (an
+    # untrained net can have zero opacity everywhere, which would make the
+    # determinism assertions below vacuously true).
+    params = state.params
+    for net in ("coarse", "fine"):
+        params[net]["alpha"]["b"] = params[net]["alpha"]["b"] + 1.0
+    state = TrainState(params=params, opt_state=state.opt_state,
                        step=state.step + 42)
     save_checkpoint(d, state)
     return d
@@ -25,7 +31,7 @@ def ckpt_dir(tmp_path_factory):
 
 def test_render_pose_and_video(ckpt_dir):
     r = NerfRenderer(ckpt_dir, height=12, width=16, focal=14.0,
-                     near=2.0, far=6.0, mlp=TINY,
+                     near=2.0, far=6.0,
                      cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
                      chunk=128, use_mesh=False)
     assert r.step == 42
@@ -34,17 +40,42 @@ def test_render_pose_and_video(ckpt_dir):
     rgb = r.render_pose(pose)
     assert rgb.shape == (12, 16, 3)
     assert np.isfinite(rgb).all()
+    # Non-vacuous render: the biased density must produce opacity.
+    assert rgb.std() > 1e-4
     rgb_half = r.render_pose(pose, factor=2)
     assert rgb_half.shape == (6, 8, 3)
 
+    # Deterministic serving: the same pose renders identically, both within
+    # a video and across separate calls.
     frames = r.render_video([pose, pose])
     assert frames.shape == (2, 12, 16, 3)
     np.testing.assert_array_equal(frames[0], frames[1])
+    np.testing.assert_array_equal(frames[0], r.render_pose(pose))
+
+
+def test_stochastic_serving_differs_per_frame(ckpt_dir):
+    r = NerfRenderer(ckpt_dir, height=8, width=8, focal=8.0,
+                     near=2.0, far=6.0,
+                     cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
+                     chunk=64, deterministic=False, use_mesh=False)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    frames = r.render_video([pose, pose])
+    # The reference's eval resampling stays stochastic (utils.py:23); with
+    # per-frame keys the two renders of the same pose differ.
+    assert not np.array_equal(frames[0], frames[1])
+
+
+def test_conflicting_architecture_rejected(ckpt_dir):
+    with pytest.raises(ValueError, match="conflicting architectures"):
+        NerfRenderer(ckpt_dir, height=8, width=8, focal=8.0, near=2.0,
+                     far=6.0, cfg=RenderConfig(mlp=TINY),
+                     mlp=NerfMLPConfig(), use_mesh=False)
 
 
 def test_renderer_on_mesh_matches_single(ckpt_dir):
     common = dict(height=8, width=16, focal=10.0, near=2.0, far=6.0,
-                  mlp=TINY, cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
+                  cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
                   chunk=128)
     single = NerfRenderer(ckpt_dir, use_mesh=False, **common)
     meshed = NerfRenderer(ckpt_dir, use_mesh=True, **common)
