@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -39,8 +40,19 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench(train_steps: int = 200, warmup: int = 20) -> dict:
+def bench(train_steps: int = 200, warmup: int = 20,
+          smoke: bool = False) -> dict:
+    """Full benchmark on the ambient platform; ``smoke=True`` runs a tiny
+    CPU-only workload (driver-contract check: same code path, minutes → s)."""
     import jax
+    if smoke:
+        # Must precede any backend-initializing call. The site customization
+        # overrides JAX_PLATFORMS env vars, so use post-import config
+        # (CLAUDE.md); ignore failure if a backend already exists.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     _enable_compile_cache()
     import jax.numpy as jnp
     from cvnerf_tpu.parallel.mesh import make_mesh
@@ -52,6 +64,16 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
     n_chips = len(jax.devices())
     H = W = 400  # half-res lego frame size
     focal = 555.0
+    n_rays = 1024
+    n_coarse, n_fine = 64, 128
+    dtype = jnp.bfloat16
+    if smoke:
+        train_steps, warmup = 10, 3
+        H = W = 32
+        focal = 44.0
+        n_rays = 64
+        n_coarse, n_fine = 8, 8
+        dtype = jnp.float32
 
     # Synthetic lego-shaped dataset (the real capture is not bundled; the
     # compute is shape-identical).
@@ -62,11 +84,11 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
     poses = np.stack([np.eye(4, dtype=np.float32)[:3]] * 2)
     poses[:, 2, 3] = 4.0
 
-    rcfg = RenderConfig(n_coarse=64, n_fine=128, perturb=True,
+    rcfg = RenderConfig(n_coarse=n_coarse, n_fine=n_fine, perturb=True,
                         noise_std=0.0, white_bkg=True,
-                        compute_dtype=jnp.bfloat16)
+                        compute_dtype=dtype)
     cfg = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
-                      n_rays=1024, lr=5e-4, lr_decay=500, render=rcfg)
+                      n_rays=n_rays, lr=5e-4, lr_decay=500, render=rcfg)
 
     mesh = make_mesh()
     state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
@@ -93,7 +115,8 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
 
     def do_render():
         out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
-                           focal, c2w, 2.0, 6.0, rcfg_test, chunk=8192,
+                           focal, c2w, 2.0, 6.0, rcfg_test,
+                           chunk=min(8192, H * W),
                            mesh=mesh if n_chips > 1 else None)
         np.asarray(out["rgb"])
         return out
@@ -106,34 +129,81 @@ def bench(train_steps: int = 200, warmup: int = 20) -> dict:
     render_dt = time.perf_counter() - t0
     render_rays_sec = n_render * H * W / render_dt
 
-    # Secondary: the reference's *default* batch (n_rays=4096, main.py:422).
-    cfg4 = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
-                       n_rays=4096, lr=5e-4, lr_decay=500, render=rcfg)
-    state4 = create_train_state(jax.random.PRNGKey(0), lr=cfg4.lr,
-                                lr_decay=cfg4.lr_decay)
-    tr4 = Trainer(cfg4, state4, images, poses, [0, 1], seed=0, mesh=mesh)
-    tr4.run(1, 11)
-    np.asarray(jax.tree.leaves(tr4.state.params)[0])
-    t0 = time.perf_counter()
-    tr4.run(11, 61)
-    np.asarray(jax.tree.leaves(tr4.state.params)[0])
-    rays4 = 50 * 4096 / (time.perf_counter() - t0)
-
-    value = train_rays_sec / n_chips
-    return {
+    result = {
         "metric": "train_rays_per_sec_per_chip_lego_workload",
-        "value": round(value, 1),
+        "value": 0.0,  # filled below
         "unit": "rays/s/chip",
-        "vs_baseline": round(value / REFERENCE_GPU_RAYS_PER_SEC, 2),
+        "vs_baseline": 0.0,
         "render_rays_per_sec_per_chip": round(render_rays_sec / n_chips, 1),
-        "train_rays_per_sec_at_4096": round(rays4 / n_chips, 1),
         "train_step_ms": round(1000 * train_dt / train_steps, 2),
         "frame_400x400_ms": round(1000 * render_dt / n_render, 1),
         "n_chips": n_chips,
         "final_loss": round(float(final["loss"]), 5),
         "baseline_rays_per_sec_estimated": REFERENCE_GPU_RAYS_PER_SEC,
+        "smoke": smoke,
     }
+    value = train_rays_sec / n_chips
+    result["value"] = round(value, 1)
+    result["vs_baseline"] = round(value / REFERENCE_GPU_RAYS_PER_SEC, 2)
+
+    if not smoke:
+        # Secondary: the reference's *default* batch (n_rays=4096,
+        # main.py:422).
+        cfg4 = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
+                           n_rays=4096, lr=5e-4, lr_decay=500, render=rcfg)
+        state4 = create_train_state(jax.random.PRNGKey(0), lr=cfg4.lr,
+                                    lr_decay=cfg4.lr_decay)
+        tr4 = Trainer(cfg4, state4, images, poses, [0, 1], seed=0, mesh=mesh)
+        tr4.run(1, 11)
+        np.asarray(jax.tree.leaves(tr4.state.params)[0])
+        t0 = time.perf_counter()
+        tr4.run(11, 61)
+        np.asarray(jax.tree.leaves(tr4.state.params)[0])
+        result["train_rays_per_sec_at_4096"] = round(
+            50 * 4096 / (time.perf_counter() - t0) / n_chips, 1)
+
+        # Ablation: same workload with the fused Pallas kernel disabled
+        # (pure-XLA jnp path), so the kernel's contribution is a *measured*
+        # number rather than a docstring claim (VERDICT r1 item 2).
+        import dataclasses
+        rcfg_off = dataclasses.replace(rcfg, pallas="off")
+        cfg_off = dataclasses.replace(cfg, render=rcfg_off)
+        state_off = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                                       lr_decay=cfg.lr_decay)
+        tro = Trainer(cfg_off, state_off, images, poses, [0, 1], seed=0,
+                      mesh=mesh)
+        ab_steps = 100
+        tro.run(1, warmup + 1)
+        np.asarray(jax.tree.leaves(tro.state.params)[0])
+        t0 = time.perf_counter()
+        tro.run(warmup + 1, warmup + ab_steps + 1)
+        np.asarray(jax.tree.leaves(tro.state.params)[0])
+        off_train = ab_steps * cfg.n_rays / (time.perf_counter() - t0)
+        result["train_rays_per_sec_pallas_off"] = round(off_train / n_chips, 1)
+        result["pallas_train_speedup"] = round(train_rays_sec / off_train, 2)
+
+        def do_render_off():
+            out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
+                               focal, c2w, 2.0, 6.0, rcfg_off.eval_mode(),
+                               chunk=8192,
+                               mesh=mesh if n_chips > 1 else None)
+            np.asarray(out["rgb"])
+
+        do_render_off()  # compile
+        t0 = time.perf_counter()
+        for _ in range(n_render):
+            do_render_off()
+        off_render = n_render * H * W / (time.perf_counter() - t0)
+        result["render_rays_per_sec_pallas_off"] = round(
+            off_render / n_chips, 1)
+        result["pallas_render_speedup"] = round(render_rays_sec / off_render,
+                                                2)
+    return result
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench()))
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU-only workload (driver-contract check)")
+    ns = ap.parse_args()
+    print(json.dumps(bench(smoke=ns.smoke)))
