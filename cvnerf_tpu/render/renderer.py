@@ -102,19 +102,19 @@ def _per_ray_uniform(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
     resample / noise stream whether it runs on 1 chip or 256, in one chunk
     or many. (The reference's torch RNG is a single global stream, so its
     results change with chunk size; SURVEY.md §7 "RNG semantics".)
+
+    Derivation is a single bulk counter-based threefry pass (ops/rng.py),
+    not a vmapped per-ray fold_in — same invariance contract, ~2 ms less
+    per 8192-ray chunk.
     """
-    tagged = jax.random.fold_in(key, tag)
-    return jax.vmap(
-        lambda i: jax.random.uniform(jax.random.fold_in(tagged, i), (n,)))(
-            ray_ids)
+    from cvnerf_tpu.ops.rng import ray_uniform
+    return ray_uniform(key, tag, ray_ids, n)
 
 
 def _per_ray_normal(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
                     n: int) -> jnp.ndarray:
-    tagged = jax.random.fold_in(key, tag)
-    return jax.vmap(
-        lambda i: jax.random.normal(jax.random.fold_in(tagged, i), (n,)))(
-            ray_ids)
+    from cvnerf_tpu.ops.rng import ray_normal
+    return ray_normal(key, tag, ray_ids, n)
 
 
 def render_rays(key: jax.Array,

@@ -1,0 +1,78 @@
+"""Counter-based bulk per-ray RNG (cvnerf_tpu/ops/rng.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvnerf_tpu.ops.rng import ray_normal, ray_uniform, threefry2x32
+
+
+def test_matches_jax_threefry():
+    """Our threefry2x32 is bit-for-bit JAX's internal one (same algorithm,
+    so statistical quality is inherited, not re-argued)."""
+    jprng = pytest.importorskip("jax._src.prng")
+    key = jax.random.PRNGKey(7)
+    counts = jnp.arange(128, dtype=jnp.uint32)
+    ref = jprng.threefry_2x32(jnp.asarray(key, jnp.uint32), counts)
+    c0, c1 = jnp.split(counts, 2)
+    o0, o1 = threefry2x32(key[0], key[1], c0, c1)
+    np.testing.assert_array_equal(np.asarray(ref),
+                                  np.asarray(jnp.concatenate([o0, o1])))
+
+
+def test_uniform_partition_invariant():
+    """Row i depends only on (key, tag, ray_ids[i]) — any slicing/reordering
+    of the id set reproduces the same per-ray streams bitwise."""
+    key = jax.random.PRNGKey(3)
+    full = ray_uniform(key, 1, jnp.arange(256, dtype=jnp.int32), 9)
+    part = ray_uniform(key, 1, jnp.arange(100, 163, dtype=jnp.int32), 9)
+    np.testing.assert_array_equal(np.asarray(full[100:163]), np.asarray(part))
+    perm = np.random.RandomState(0).permutation(256).astype(np.int32)
+    shuf = ray_uniform(key, 1, jnp.asarray(perm), 9)
+    np.testing.assert_array_equal(np.asarray(full)[perm], np.asarray(shuf))
+
+
+def test_streams_distinct_by_key_tag_ray():
+    key = jax.random.PRNGKey(3)
+    ids = jnp.arange(64, dtype=jnp.int32)
+    a = np.asarray(ray_uniform(key, 1, ids, 16))
+    assert not np.array_equal(a, np.asarray(ray_uniform(key, 2, ids, 16)))
+    assert not np.array_equal(
+        a, np.asarray(ray_uniform(jax.random.PRNGKey(4), 1, ids, 16)))
+    # rows differ from each other
+    assert len({tuple(r) for r in a}) == 64
+
+
+def test_uniform_range_and_moments():
+    u = np.asarray(ray_uniform(jax.random.PRNGKey(0), 1,
+                               jnp.arange(4096, dtype=jnp.int32), 32))
+    assert (u >= 0.0).all() and (u < 1.0).all()
+    assert abs(u.mean() - 0.5) < 0.01
+    assert abs(u.var() - 1.0 / 12.0) < 0.005
+
+
+def test_normal_moments_and_finiteness():
+    x = np.asarray(ray_normal(jax.random.PRNGKey(0), 3,
+                              jnp.arange(8192, dtype=jnp.int32), 16))
+    assert np.isfinite(x).all()
+    assert abs(x.mean()) < 0.02
+    assert abs(x.std() - 1.0) < 0.02
+
+
+def test_odd_n_and_single_ray():
+    u = ray_uniform(jax.random.PRNGKey(1), 5,
+                    jnp.asarray([17], dtype=jnp.int32), 1)
+    assert u.shape == (1, 1)
+    u7 = ray_uniform(jax.random.PRNGKey(1), 5,
+                     jnp.asarray([17], dtype=jnp.int32), 7)
+    assert u7.shape == (1, 7)
+    # prefix property within a ray's stream: first output lane is shared
+    np.testing.assert_array_equal(np.asarray(u7[:, :1]), np.asarray(u))
+
+
+def test_typed_and_legacy_keys_agree():
+    ids = jnp.arange(8, dtype=jnp.int32)
+    legacy = ray_uniform(jax.random.PRNGKey(9), 1, ids, 4)
+    typed = ray_uniform(jax.random.key(9), 1, ids, 4)
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(typed))
