@@ -93,7 +93,8 @@ def bench(train_steps: int = 200, warmup: int = 20,
     mesh = make_mesh()
     state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
                                lr_decay=cfg.lr_decay)
-    tr = Trainer(cfg, state, images, poses, [0, 1], seed=0, mesh=mesh)
+    tr = Trainer(cfg, state, images, poses, [0, 1], seed=0, mesh=mesh,
+                 steps_per_call=10)
 
     # --- train throughput ---
     # Sync via host transfer: block_until_ready does not reliably block on
@@ -153,7 +154,8 @@ def bench(train_steps: int = 200, warmup: int = 20,
                            n_rays=4096, lr=5e-4, lr_decay=500, render=rcfg)
         state4 = create_train_state(jax.random.PRNGKey(0), lr=cfg4.lr,
                                     lr_decay=cfg4.lr_decay)
-        tr4 = Trainer(cfg4, state4, images, poses, [0, 1], seed=0, mesh=mesh)
+        tr4 = Trainer(cfg4, state4, images, poses, [0, 1], seed=0, mesh=mesh,
+                      steps_per_call=10)
         tr4.run(1, 11)
         np.asarray(jax.tree.leaves(tr4.state.params)[0])
         t0 = time.perf_counter()
@@ -171,7 +173,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
         state_off = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
                                        lr_decay=cfg.lr_decay)
         tro = Trainer(cfg_off, state_off, images, poses, [0, 1], seed=0,
-                      mesh=mesh)
+                      mesh=mesh, steps_per_call=10)
         ab_steps = 100
         tro.run(1, warmup + 1)
         np.asarray(jax.tree.leaves(tro.state.params)[0])

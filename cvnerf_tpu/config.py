@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--netchunk", type=int, default=1024 * 64,
                    help="accepted for reference parity; the fused TPU "
                         "pipeline has no separate network chunking")
-    p.add_argument("--no_reload", action="store_true")
+    p.add_argument("--no_reload", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--ft_path", type=str, default=None)
 
     p.add_argument("--n_coarse_samples", type=int, default=64)
@@ -56,8 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perturb", type=float, default=1.0)
     p.add_argument("--noise", type=float, default=0.0)
 
-    p.add_argument("--render_only", action="store_true")
-    p.add_argument("--render_test", action="store_true")
+    p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_factor", type=int, default=0)
 
     p.add_argument("--precrop_iters", type=int, default=0)
@@ -65,12 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--testskip", type=int, default=8)
 
-    p.add_argument("--white_bkg", action="store_true")
-    p.add_argument("--half_res", action="store_true")
+    p.add_argument("--white_bkg", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--half_res", action=argparse.BooleanOptionalAction, default=False)
 
     p.add_argument("--factor", type=int, default=8)
-    p.add_argument("--no_ndc", action="store_true")
-    p.add_argument("--spherify", action="store_true",
+    p.add_argument("--no_ndc", action=argparse.BooleanOptionalAction, default=False)
+    p.add_argument("--spherify", action=argparse.BooleanOptionalAction, default=False,
                    help="spherify inward-facing LLFF captures (a working\n"
                         " extension; the reference parses but ignores this)")
     p.add_argument("--llffhold", type=int, default=8)
@@ -84,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=100000,
                    help="training iterations (reference hardcodes 100000)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--bf16", action="store_true",
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=False,
                    help="bfloat16 MLP matmuls with fp32 accumulation")
     p.add_argument("--ndc_variant", type=str, default="canonical",
                    choices=["canonical", "reference"],
@@ -94,10 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "historical cadence)")
     p.add_argument("--val_freq", type=int, default=2500,
                    help="validation-PSNR cadence (0 disables)")
-    p.add_argument("--deterministic_resample", action="store_true",
+    p.add_argument("--deterministic_resample", action=argparse.BooleanOptionalAction, default=False,
                    help="evenly-spaced (non-stochastic) inverse-CDF "
                         "uniforms at eval time")
-    p.add_argument("--debug_nans", action="store_true",
+    p.add_argument("--debug_nans", action=argparse.BooleanOptionalAction, default=False,
                    help="enable jax_debug_nans")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
@@ -112,12 +112,28 @@ def build_parser() -> argparse.ArgumentParser:
                    help="positional-encoding L for xyz")
     p.add_argument("--dir_freqs", type=int, default=4,
                    help="positional-encoding L for view directions")
+    p.add_argument("--pixel_sampling", type=str, default="prp",
+                   choices=["prp", "parity", "replace"],
+                   help="per-step pixel draw: prp = without replacement via "
+                        "a keyed Feistel permutation (O(n_rays)); parity = "
+                        "jax.random.choice without replacement (O(H*W) "
+                        "sort, the reference's exact semantics); replace = "
+                        "with replacement")
+    p.add_argument("--steps_per_call", type=int, default=10,
+                   help="train steps per device dispatch (lax.scan block; "
+                        "bitwise-identical numerics, amortizes the ~0.5-1 ms "
+                        "per-dispatch cost of the tunneled TPU runtime)")
     return p
 
 
-_STORE_TRUE = {"no_reload", "render_only", "render_test", "white_bkg",
+# Boolean flags. Parsed with argparse.BooleanOptionalAction so a value set
+# true in a config file CAN be overridden back off from the CLI with
+# ``--no-<flag>`` (plain store_true has no negative form, which silently
+# broke the "CLI overrides config file" contract).
+_BOOL_FLAGS = {"no_reload", "render_only", "render_test", "white_bkg",
                "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
                "deterministic_resample"}
+_STORE_TRUE = _BOOL_FLAGS  # historical alias
 
 
 def _config_file_to_argv(path: str) -> list[str]:
@@ -132,11 +148,11 @@ def _config_file_to_argv(path: str) -> list[str]:
             if "=" not in line:
                 raise ValueError(f"{path}: bad config line {line!r}")
             key, value = (s.strip() for s in line.split("=", 1))
-            if key in _STORE_TRUE:
+            if key in _BOOL_FLAGS:
                 if value.lower() in ("true", "1", "yes"):
                     argv.append(f"--{key}")
                 elif value.lower() in ("false", "0", "no"):
-                    pass
+                    argv.append(f"--no-{key}")
                 else:
                     raise ValueError(f"{path}: bad boolean {line!r}")
             else:

@@ -69,6 +69,10 @@ def load_blender_data(basedir: str, half_res: bool = False,
     poses = np.concatenate(all_poses, 0)
 
     height, width = imgs.shape[1:3]
+    # Read intrinsics from the train split. The reference reads whichever
+    # split's meta was loaded last (test; data_helpers.py:85-88) — identical
+    # for well-formed scenes, but per-split intrinsics would diverge there;
+    # the train split is the sane, deliberate choice here.
     camera_angle_x = float(metas["train"]["camera_angle_x"])
     focal = 0.5 * width / np.tan(0.5 * camera_angle_x)
 

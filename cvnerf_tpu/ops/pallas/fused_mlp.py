@@ -13,14 +13,17 @@ Design notes:
   * **Transposed layout.** Tiles are ``[channels, T]`` with ``T`` (points) on
     the lane axis, channels on sublanes. Every matmul is then
     ``W^T[out,in] @ h[in,T]`` — both operands MXU-aligned for any trunk width
-    that is a multiple of 8. Inputs arrive as ``[4, N]`` (xyz/dir padded with
-    a zero row), outputs leave as ``[4, N]`` (rgb, sigma).
-  * **Encoding as matmul + masked trig.** The frequency encoding
-    ``[x, sin(2^k x), cos(2^k x)]`` is computed as ``S = P @ x`` (``P`` a
-    constant scale matrix) followed by columnwise
-    ``id·S + sin_mask·sin(S) + cos_mask·cos(S)`` — no reshapes/relayouts on
-    the TPU, and the trig stays in fp32 (bf16 mantissas are useless at
-    ``2^9·x`` phase magnitudes).
+    that is a multiple of 8. Inputs arrive as ``[16, N]`` bf16 mantissa
+    slices (a full bf16 tile), outputs leave as ``[4, N]`` (rgb, sigma).
+  * **Encoding as an exact bf16 matmul + masked trig.** The frequency
+    encoding ``[x, sin(2^k x), cos(2^k x)]`` is computed as ``S = P @ x_split``
+    followed by columnwise ``id·S + sin_mask·sin(S) + cos_mask·cos(S)``.
+    ``x_split`` holds three exact bf16 mantissa slices of each fp32
+    coordinate and every ``P`` entry is a power of two, so a single
+    DEFAULT-precision bf16 MXU pass reproduces the fp32 phases ``2^k·x``
+    bit-exactly (see ``_split_rows``) — replacing round 1's 6-pass
+    fp32-HIGHEST dot (~13% of kernel time). The trig stays in fp32 (bf16
+    mantissas are useless at ``2^9·x`` phase magnitudes).
   * **Skip/concat as split matmuls.** The xyz skip at layer 6 and the
     viewdir concat at layer 10 (reference model.py:94,103) are algebraically
     ``W6a@h + W6b@enc`` — avoiding in-kernel concatenation on the sublane
@@ -76,26 +79,60 @@ def _encoding_constants(n_freqs: int, pad_to: int):
 
     Column layout matches ``ops.encoding.freq_encode`` exactly:
     ``[x(3) | sin(2^0 x)(3) cos(2^0 x)(3) | sin(2^1 x)(3) ...]``.
+
+    ``P`` is ``[pad_to, 16]`` **bfloat16** over the split input layout of
+    ``_split_rows`` (three 4-row groups holding exact bf16 mantissa slices
+    of each coordinate): ``P[row, 4j+i] = 2^k`` for every split ``j``. All
+    entries are powers of two — exactly representable in bf16 — and each
+    product ``2^k · slice`` is exact in the MXU's fp32 accumulator, so ONE
+    DEFAULT-precision bf16 pass reproduces the fp32 ``2^k · x`` phases
+    bit-exactly (the round-1 kernel burned ~13% of its time running this
+    dot at fp32 HIGHEST, i.e. 6 MXU passes).
     """
     dim = 3
     out = dim + 2 * dim * n_freqs
-    p = np.zeros((pad_to, 4), np.float32)
+
+    def put(p, row, i, scale):
+        for j in range(3):          # identical coefficient for each slice
+            p[row, 4 * j + i] = scale
+
+    p = np.zeros((pad_to, 16), np.float32)
     m_id = np.zeros((pad_to, 1), np.float32)
     m_sin = np.zeros((pad_to, 1), np.float32)
     m_cos = np.zeros((pad_to, 1), np.float32)
     for i in range(dim):
-        p[i, i] = 1.0
+        put(p, i, i, 1.0)
         m_id[i] = 1.0
     col = dim
     for k in range(n_freqs):
         for trig, mask in ((0, m_sin), (1, m_cos)):
             for i in range(dim):
-                p[col, i] = 2.0 ** k
+                put(p, col, i, 2.0 ** k)
                 mask[col] = 1.0
                 col += 1
     assert col == out
-    return jnp.asarray(p), jnp.asarray(m_id), jnp.asarray(m_sin), \
-        jnp.asarray(m_cos)
+    return jnp.asarray(p, jnp.bfloat16), jnp.asarray(m_id), \
+        jnp.asarray(m_sin), jnp.asarray(m_cos)
+
+
+def _split_rows(a_t: jnp.ndarray) -> jnp.ndarray:
+    """``[4, N]`` fp32 → ``[16, N]`` bf16 of exact mantissa slices.
+
+    Truncation split: ``p1`` keeps the top 8 significant bits (bf16 IS fp32
+    truncated to 16 bits), ``p2`` the next 8, ``p3`` the remaining 8 —
+    ``p1 + p2 + p3 == x`` exactly, every piece exactly bf16-representable
+    (bf16 shares fp32's exponent range, so no underflow). Rows are three
+    4-row groups ``[p1 | p2 | p3 | zeros]`` matching ``_encoding_constants``.
+    """
+    u = jax.lax.bitcast_convert_type(a_t, jnp.uint32)
+    p1 = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000), jnp.float32)
+    r1 = a_t - p1
+    u1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    p2 = jax.lax.bitcast_convert_type(u1 & np.uint32(0xFFFF0000), jnp.float32)
+    p3 = r1 - p2
+    pad = jnp.zeros_like(p1[:4])
+    return jnp.concatenate(
+        [p1, p2, p3, pad], axis=0).astype(jnp.bfloat16)
 
 
 def _pack_params(params: dict, cfg: NerfMLPConfig, compute_dtype: Any):
@@ -152,20 +189,25 @@ def _layer_precision(compute_dtype):
 
 
 def _encode_inputs(x_ref, d_ref, px, mix, msx, mcx, pd, mid, msd, mcd):
-    """In-kernel frequency encodings (fp32 trig and exact phase scaling:
-    bf16 mantissas are useless at 2^9·x phase magnitudes).
+    """In-kernel frequency encodings (fp32 trig, exact phase scaling).
+
+    Inputs are the ``[16, T]`` bf16 mantissa-slice layout of ``_split_rows``;
+    the phase ``2^k·x`` is recovered bit-exactly by ONE DEFAULT-precision
+    bf16 dot (see ``_encoding_constants``): every ``2^k · slice`` product is
+    exact in the fp32 accumulator and the partial sums are mantissa prefixes
+    of the fp32 result, so no rounding occurs anywhere.
 
     Returns (enc_x, enc_d), both fp32 ``[EX/ED, T]``.
     """
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
 
-    def mm_exact(a, b):
-        return jnp.dot(a[:], b, preferred_element_type=f32, precision=hi)
+    def mm(a, b):
+        return jnp.dot(a[:], b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT)
 
-    s = mm_exact(px, x_ref[:])                     # [EX, T]
+    s = mm(px, x_ref[:])                           # [EX, T]
     enc_x = mix[:] * s + msx[:] * jnp.sin(s) + mcx[:] * jnp.cos(s)
-    sd = mm_exact(pd, d_ref[:])                    # [ED, T]
+    sd = mm(pd, d_ref[:])                          # [ED, T]
     enc_d = mid[:] * sd + msd[:] * jnp.sin(sd) + mcd[:] * jnp.cos(sd)
     return enc_x, enc_d
 
@@ -231,7 +273,10 @@ def _kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
         w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
         wa, ba, w10a, w10b, b10, w11, b11, cdt,
         want_intermediates=False)
-    o_ref[:] = jnp.concatenate([rgb[0:3, :], sigma[0:1, :]], axis=0)
+    # Full-tile [8, T] output (rgb rows 0-2, sigma row 3): a [4, T] fp32
+    # block is below the 8-sublane tile minimum and forces a relayout.
+    row = jax.lax.broadcasted_iota(jnp.int32, rgb.shape, 0)
+    o_ref[:] = jnp.where(row == 3, pltpu.roll(sigma, 3, 0), rgb)
 
 
 @functools.partial(jax.jit,
@@ -276,11 +321,13 @@ def fused_nerf_apply(params: dict,
     ex = _round_up(cfg.xyz_dim, 8)
     ed = _round_up(cfg.dir_dim, 8)
 
-    # [4, N] transposed inputs, zero 4th row, zero tail padding.
+    # [16, N] bf16 mantissa-slice inputs (exact; see _split_rows), zero tail
+    # padding. The split costs a few VPU ops outside the kernel, fused by
+    # XLA into the transpose/pad.
     def prep(a):
         a = a.astype(jnp.float32)
         a = jnp.pad(a, ((0, n_pad - n), (0, 1)))
-        return a.T
+        return _split_rows(a.T)
 
     x_t = prep(points)
     d_t = prep(viewdirs)
@@ -298,7 +345,7 @@ def fused_nerf_apply(params: dict,
     grid = (n_pad // tile,)
     in_specs = (
         [const_spec(a) for a in consts]
-        + [pl.BlockSpec((4, tile), lambda i: (0, i),
+        + [pl.BlockSpec((16, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)] * 2
         + [const_spec(a) for a in wops]
     )
@@ -307,15 +354,15 @@ def fused_nerf_apply(params: dict,
         functools.partial(_kernel, compute_dtype=compute_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=_forward_flops(cfg) * n_pad,
-            bytes_accessed=n_pad * 32,
+            bytes_accessed=n_pad * 80,
             transcendentals=2 * n_pad * (ex + ed),  # sin AND cos per row
         ),
     )(*consts, x_t, d_t, *wops)
 
-    return out.T[:n]
+    return out.T[:n, :4]

@@ -172,8 +172,9 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
         a = jnp.pad(a, ((0, n_pad - n), (0, width - a.shape[1])))
         return a.T
 
-    x_t = prep(points, 4)
-    d_t = prep(viewdirs, 4)
+    from cvnerf_tpu.ops.pallas.fused_mlp import _split_rows
+    x_t = _split_rows(prep(points, 4))   # [16, N] bf16 mantissa slices
+    d_t = _split_rows(prep(viewdirs, 4))
     g_t = prep(g, 8)   # upstream [n, 4] → [8, N] (pad tail rows zero)
 
     px, mix, msx, mcx = _encoding_constants(cfg.xyz_freqs, ex)
@@ -188,7 +189,7 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
     grid = (n_pad // tile,)
     in_specs = (
         [const_spec(a) for a in consts]
-        + [pl.BlockSpec((4, tile), lambda i: (0, i),
+        + [pl.BlockSpec((16, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec((8, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)]

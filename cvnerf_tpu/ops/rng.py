@@ -89,6 +89,28 @@ def ray_uniform(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
     return _bits_to_unit_float(_ray_bits(key, tag, ray_ids, n))
 
 
+def ray_sorted_uniform(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
+                       n: int) -> jnp.ndarray:
+    """[len(ray_ids), n] float32 uniforms, ASCENDING within each ray.
+
+    Exponential-spacings construction: for ``E_1..E_{n+1}`` iid Exp(1),
+    ``u_(i) = (E_1+..+E_i) / (E_1+..+E_{n+1})`` has exactly the joint
+    distribution of the ORDER STATISTICS of ``n`` iid U(0,1) draws — i.e.
+    this is ``sort(ray_uniform(...))`` distributionally, without the sort.
+    Used by the renderer's hierarchical resampling so the inverse-CDF output
+    is monotone per ray and the coarse/fine depth union needs only a
+    bitonic *merge* instead of a full 192-wide sort. Partition-invariant
+    like every other draw here (row i depends only on (key, tag,
+    ray_ids[i])).
+    """
+    u = ray_uniform(key, tag, ray_ids, n + 1)
+    # u < 1 strictly, so log1p(-u) is finite; E = -log(1-u) ~ Exp(1).
+    e = -jnp.log1p(-u)
+    s = jnp.cumsum(e, axis=-1)
+    total = jnp.maximum(s[..., -1:], jnp.float32(1e-37))
+    return s[..., :n] / total
+
+
 def ray_normal(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
                n: int) -> jnp.ndarray:
     """[len(ray_ids), n] float32 standard normals, partition-invariant.
@@ -101,3 +123,54 @@ def ray_normal(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
     lo = np.nextafter(np.float32(-1.0), np.float32(0.0), dtype=np.float32)
     v = jnp.maximum(2.0 * u - 1.0, lo)
     return np.sqrt(2.0).astype(np.float32) * jax.lax.erf_inv(v)
+
+
+def sample_without_replacement(key: jax.Array, n: int, m: int) -> jnp.ndarray:
+    """``n`` DISTINCT uniform indices in ``[0, m)`` in O(n) work.
+
+    ``jax.random.choice(replace=False)`` materializes (and sorts) an O(m)
+    permutation on device — ~0.4 ms/step at a 400×400 pixel grid. This
+    instead evaluates a keyed random *permutation* of ``[0, m)`` at points
+    ``0..n-1`` only: a 4-round balanced Feistel network over ``ceil(log2 m)``
+    bits (round function: threefry2x32) made domain-exact by cycle-walking.
+    A Feistel PRP with an independent random round key per step is
+    statistically indistinguishable from a uniform random permutation for
+    sampling purposes; distinctness is structural (it is a bijection).
+
+    The cycle walk re-encrypts out-of-range values; each pass escapes with
+    probability ``m / 2^bits ≥ 1/2``, so 40 fixed passes leave a miss
+    probability < 2^-40 per element (misses would yield a duplicate, never
+    an out-of-range index — the final ``where`` guard clamps into range).
+    """
+    if n > m:
+        raise ValueError(f"cannot draw {n} distinct values from [0, {m})")
+    if m <= 2:
+        base = jnp.arange(n, dtype=jnp.int32)
+        if m == 2:
+            return jnp.where(jax.random.bernoulli(key), 1 - base, base)
+        return base
+    # Even bit count → balanced halves (an unbalanced swap would truncate
+    # bits and lose bijectivity).
+    total_bits = max(2, (m - 1).bit_length())
+    total_bits += total_bits % 2
+    hb = total_bits // 2
+    mask = np.uint32((1 << hb) - 1)
+    k0, k1 = _key_words(key)
+
+    def encrypt(x):
+        left = (x >> np.uint32(hb)) & mask
+        right = x & mask
+        for rnd in range(4):
+            f, _ = threefry2x32(k0 ^ np.uint32(rnd), k1, right,
+                                jnp.full_like(right, rnd))
+            left, right = right, (left ^ f) & mask
+        return (left << np.uint32(hb)) | right
+
+    y = encrypt(jnp.arange(n, dtype=jnp.uint32))
+    # Cycle walk as a fori_loop (fixed trip count → one compiled body; an
+    # unrolled walk costs ~25 s of compile time for no runtime benefit).
+    y = jax.lax.fori_loop(
+        0, 40,
+        lambda _, v: jnp.where(v < np.uint32(m), v, encrypt(v)), y)
+    y = jnp.where(y < np.uint32(m), y, jnp.arange(n, dtype=jnp.uint32))
+    return y.astype(jnp.int32)

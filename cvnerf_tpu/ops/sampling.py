@@ -54,6 +54,35 @@ def stratified_samples(key: jax.Array | None,
     return t
 
 
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-ray ASCENDING arrays ``a [n, la]``, ``b [n, lb]`` into
+    one ascending ``[n, la+lb]`` array.
+
+    TPU-native replacement for ``jnp.sort(concat([a, b]))`` when both inputs
+    are already sorted (reference ``main.py:251`` sorts the coarse/fine
+    depth union): ``[a asc | +inf pad | reversed(b) desc]`` is bitonic, so a
+    single bitonic *merge* — ``log2`` compare-exchange stages of elementwise
+    min/max, pure VPU work — sorts it, versus the ``O(log^2)`` stages of a
+    full bitonic sort.
+    """
+    n, la = a.shape
+    lb = b.shape[-1]
+    m = la + lb
+    size = 1 << (m - 1).bit_length()          # next power of two
+    pad = size - m
+    inf = jnp.full((n, pad), jnp.inf, a.dtype)
+    # ascending | peak (+inf) | descending  → bitonic
+    x = jnp.concatenate([a, inf, b[..., ::-1]], axis=-1)
+    d = size // 2
+    while d >= 1:
+        y = x.reshape(n, -1, 2, d)
+        lo = jnp.minimum(y[:, :, 0, :], y[:, :, 1, :])
+        hi = jnp.maximum(y[:, :, 0, :], y[:, :, 1, :])
+        x = jnp.stack([lo, hi], axis=2).reshape(n, size)
+        d //= 2
+    return x[..., :m]
+
+
 def sample_pdf(key: jax.Array | None,
                bins: jnp.ndarray, weights: jnp.ndarray,
                n_samples: int, deterministic: bool = False,

@@ -41,6 +41,12 @@ class RenderConfig:
     noise_std: float = 0.0          # density noise (main.py:186-191)
     white_bkg: bool = False
     deterministic_resample: bool = False  # original-NeRF det path (not in ref)
+    # Draw the inverse-CDF uniforms pre-sorted per ray (exponential-spacings
+    # order statistics — the same DISTRIBUTION as sorting iid draws, see
+    # ops/rng.ray_sorted_uniform), so the coarse/fine depth union needs a
+    # log2-stage bitonic merge instead of a 192-wide sort. False restores
+    # the reference-shaped iid-draws-then-sort stream (main.py:251).
+    sorted_resample: bool = True
     mlp: NerfMLPConfig = NerfMLPConfig()
     compute_dtype: Any = jnp.float32
     # MLP execution path: "auto" uses the fused Pallas kernel on TPU and the
@@ -168,14 +174,27 @@ def render_rays(key: jax.Array,
     # SURVEY.md §2.3-4) ---
     if cfg.n_fine > 0:
         mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
-        u_pdf = (None if cfg.deterministic_resample
-                 else _per_ray_uniform(key, 2, ray_ids, cfg.n_fine))
+        presorted = cfg.sorted_resample or cfg.deterministic_resample
+        if cfg.deterministic_resample:
+            u_pdf = None
+        elif cfg.sorted_resample:
+            from cvnerf_tpu.ops.rng import ray_sorted_uniform
+            u_pdf = ray_sorted_uniform(key, 2, ray_ids, cfg.n_fine)
+        else:
+            u_pdf = _per_ray_uniform(key, 2, ray_ids, cfg.n_fine)
         t_new = sample_pdf(None, mids, coarse["weights"][..., 1:-1],
                            cfg.n_fine,
                            deterministic=cfg.deterministic_resample,
                            u=u_pdf)
         t_new = jax.lax.stop_gradient(t_new)  # reference detaches (main.py:250)
-        t_fine = jnp.sort(jnp.concatenate([t_coarse, t_new], axis=-1), axis=-1)
+        if presorted:
+            # u ascending → inverse-CDF output ascending → merge, not sort
+            # (reference main.py:251 sort-merge semantics, same result).
+            from cvnerf_tpu.ops.sampling import merge_sorted
+            t_fine = merge_sorted(t_coarse, t_new)
+        else:
+            t_fine = jnp.sort(jnp.concatenate([t_coarse, t_new], axis=-1),
+                              axis=-1)
     else:
         t_fine = t_coarse
 

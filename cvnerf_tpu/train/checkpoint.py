@@ -26,39 +26,80 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
                                              create=True))
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState,
-                    max_to_keep: int = 3) -> None:
-    """Save the train state at its current step.
+class Checkpointer:
+    """A persistent, asynchronous checkpoint writer for a training run.
 
-    Raises if orbax refuses the save (its manager silently skips steps that
-    are <= the directory's latest step — e.g. a fresh ``--no_reload`` run
-    pointed at a dir holding an older run's later checkpoints would
-    otherwise lose every save while appearing to succeed).
+    Holds ONE orbax ``CheckpointManager`` for the run (round 1 opened and
+    closed a fresh manager per save) and saves asynchronously: ``save``
+    enqueues the write and returns, so checkpoint I/O overlaps the next
+    train steps instead of stalling the step loop. The previous save is
+    awaited before a new one starts (orbax requirement), and ``close``
+    drains any in-flight write.
+
+    The silent-skip guard from round 1 is kept: orbax quietly skips saves
+    at steps <= the directory's latest step, which would make a fresh run
+    pointed at a stale dir lose every save while appearing to succeed.
     """
-    mgr = _manager(ckpt_dir, max_to_keep)
-    step = int(state.step)
-    try:
-        existing = mgr.latest_step()
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self.ckpt_dir = ckpt_dir
+        self._mgr = _manager(ckpt_dir, max_to_keep)
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def save(self, state: TrainState, wait: bool = False) -> None:
+        """Enqueue an async save of ``state`` at its current step.
+
+        With ``wait`` the call blocks until the checkpoint is durable (use
+        for the final save of a run).
+        """
+        step = int(state.step)
+        self._mgr.wait_until_finished()   # at most one save in flight
+        existing = self._mgr.latest_step()
         if existing is not None:
             if step == existing:
-                return  # this step is already saved (e.g. the final save
-                        # landing on the last periodic save) — benign
+                return  # already saved (e.g. final save landing on the
+                        # last periodic one) — benign
             if step < existing:
                 raise RuntimeError(
-                    f"refusing to save step {step} into {ckpt_dir} whose "
-                    f"latest step is {existing}: the newer checkpoint "
+                    f"refusing to save step {step} into {self.ckpt_dir} "
+                    f"whose latest step is {existing}: the newer checkpoint "
                     "would shadow this one at resume time; remove or move "
                     "the stale checkpoint directory")
-        saved = mgr.save(step, args=ocp.args.StandardSave(
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(
             {"params": state.params, "opt_state": state.opt_state,
              "step": np.asarray(step, np.int32)}))
-        mgr.wait_until_finished()
         if not saved:
             raise RuntimeError(
                 f"orbax skipped the checkpoint save at step {step} in "
-                f"{ckpt_dir}")
-    finally:
-        mgr.close()
+                f"{self.ckpt_dir}")
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self) -> "Checkpointer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState,
+                    max_to_keep: int = 3) -> None:
+    """One-shot synchronous save (opens and closes a manager).
+
+    For periodic in-run saves prefer a run-owned ``Checkpointer`` — it keeps
+    one manager alive and overlaps the write with training.
+    """
+    with Checkpointer(ckpt_dir, max_to_keep) as ckpt:
+        ckpt.save(state, wait=True)
 
 
 def latest_step(ckpt_dir: str) -> int | None:

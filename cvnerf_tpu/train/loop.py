@@ -52,6 +52,16 @@ class TrainConfig:
     precrop_frac: float = 0.5
     ndc: bool = False
     ndc_variant: str = "canonical"
+    # Per-step pixel sampling strategy. All three draw n_rays pixels
+    # uniformly; the reference samples without replacement (main.py:368).
+    #   "prp"     — without replacement via a keyed Feistel permutation
+    #               evaluated at n_rays points (O(n_rays); default).
+    #   "parity"  — without replacement via jax.random.choice, i.e. a true
+    #               uniform random permutation (O(H·W) on-device sort,
+    #               ~0.4 ms/step at 400x400).
+    #   "replace" — with replacement (O(n_rays); expected duplicate pixels
+    #               ~n_rays²/2HW, e.g. ~3 of 1024 at 400x400).
+    pixel_sampling: str = "prp"
     render: RenderConfig = RenderConfig()
 
 
@@ -61,7 +71,9 @@ def _sample_pixels(key: jax.Array, cfg: TrainConfig,
 
     Reference parity: the warm-up center-crop grid (``main.py:354-365``) and
     ``np.random.choice(..., replace=False)`` (``main.py:368``), both moved
-    on-device.
+    on-device. See ``TrainConfig.pixel_sampling`` for the three strategies
+    (the default keeps the without-replacement semantics at O(n_rays) cost
+    via a keyed Feistel permutation, ``ops/rng.py``).
     """
     h, w = cfg.height, cfg.width
     if precrop:
@@ -72,24 +84,23 @@ def _sample_pixels(key: jax.Array, cfg: TrainConfig,
     else:
         y0 = x0 = 0
         gh, gw = h, w
-    flat = jax.random.choice(key, gh * gw, (cfg.n_rays,), replace=False)
+    if cfg.pixel_sampling == "prp":
+        from cvnerf_tpu.ops.rng import sample_without_replacement
+        flat = sample_without_replacement(key, cfg.n_rays, gh * gw)
+    elif cfg.pixel_sampling == "replace":
+        flat = jax.random.randint(key, (cfg.n_rays,), 0, gh * gw)
+    elif cfg.pixel_sampling == "parity":
+        flat = jax.random.choice(key, gh * gw, (cfg.n_rays,), replace=False)
+    else:
+        raise ValueError(f"bad pixel_sampling: {cfg.pixel_sampling!r}")
     py = y0 + flat // gw
     px = x0 + flat % gw
     return py, px
 
 
-def make_train_step(cfg: TrainConfig,
-                    mesh: Mesh | None = None) -> Callable:
-    """Build the jitted train step.
-
-    Returns ``step_fn(state, key, images, poses, train_idx, precrop) ->
-    (new_state, metrics)`` where ``precrop`` is a static bool (two compiled
-    variants: warm-up and steady-state).
-
-    With a mesh, the render+backward runs under ``shard_map`` over the ray
-    axis (required for the Pallas MLP kernel to execute per-device) with a
-    ``pmean`` gradient allreduce over ICI.
-    """
+def _build_step_core(cfg: TrainConfig,
+                     mesh: Mesh | None = None) -> Callable:
+    """The *uncompiled* train step; see ``make_train_step``."""
     if mesh is not None and cfg.n_rays % mesh.devices.size != 0:
         raise ValueError(
             f"n_rays={cfg.n_rays} must be divisible by the mesh size "
@@ -184,7 +195,52 @@ def make_train_step(cfg: TrainConfig,
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, static_argnames=("precrop",),
+    return step_fn
+
+
+def make_train_step(cfg: TrainConfig,
+                    mesh: Mesh | None = None) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step_fn(state, key, images, poses, train_idx, precrop) ->
+    (new_state, metrics)`` where ``precrop`` is a static bool (two compiled
+    variants: warm-up and steady-state).
+
+    With a mesh, the render+backward runs under ``shard_map`` over the ray
+    axis (required for the Pallas MLP kernel to execute per-device) with a
+    ``pmean`` gradient allreduce over ICI.
+    """
+    return jax.jit(_build_step_core(cfg, mesh),
+                   static_argnames=("precrop",), donate_argnums=(0,))
+
+
+def make_train_scan(cfg: TrainConfig, block: int,
+                    mesh: Mesh | None = None) -> Callable:
+    """Build a jitted ``block``-step train program.
+
+    ``scan_fn(state, base_key, images, poses, train_idx, start, precrop) ->
+    (new_state, last_metrics)`` runs ``block`` consecutive steps
+    ``start .. start+block-1`` inside one ``lax.scan`` — ONE program
+    dispatch instead of ``block`` (each dispatch costs ~0.5-1 ms through
+    the tunneled-TPU runtime, ~5-10% of a lego-workload step). Numerics are
+    identical to ``block`` single steps: the per-step key is the same
+    ``fold_in(base_key, i)`` derivation the host loop uses, and the body is
+    the same step core (``tests/test_train.py::test_scan_matches_single``).
+    """
+    core = _build_step_core(cfg, mesh)
+
+    def scan_fn(state: TrainState, base_key: jax.Array,
+                images: jnp.ndarray, poses: jnp.ndarray,
+                train_idx: jnp.ndarray, start: jnp.ndarray, precrop: bool):
+        def body(st, i):
+            key = jax.random.fold_in(base_key, i)
+            return core(st, key, images, poses, train_idx, precrop)
+
+        steps = start + jnp.arange(block, dtype=jnp.int32)
+        state, stacked = jax.lax.scan(body, state, steps)
+        return state, jax.tree.map(lambda m: m[-1], stacked)
+
+    return jax.jit(scan_fn, static_argnames=("precrop",),
                    donate_argnums=(0,))
 
 
@@ -199,11 +255,15 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, state: TrainState,
                  images, poses, train_idx,
-                 seed: int = 0, mesh: Mesh | None = None):
+                 seed: int = 0, mesh: Mesh | None = None,
+                 steps_per_call: int = 1):
         self.cfg = cfg
         self.mesh = mesh
         self.base_key = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(cfg, mesh)
+        self.steps_per_call = max(1, steps_per_call)
+        self.scan_fn = (make_train_scan(cfg, self.steps_per_call, mesh)
+                        if self.steps_per_call > 1 else None)
         self.state = state
         self.images = jnp.asarray(images, jnp.float32)
         self.poses = jnp.asarray(poses, jnp.float32)[:, :3, :4]
@@ -240,6 +300,21 @@ class Trainer:
         self._last_metrics = m
         return m
 
+    def _block_len(self, i: int, iters: int) -> int:
+        """Steps to run in one dispatch starting at ``i``: the scan block
+        size, shortened so the precrop flag stays constant and no callback
+        would fire before the block's last step (fires after step j where
+        j % every == 0 and j > 0; a fire exactly at the last step is fine —
+        the block returns that step's metrics)."""
+        n = min(self.steps_per_call, iters - i)
+        if i < self.cfg.precrop_iters:
+            n = min(n, self.cfg.precrop_iters - i)
+        for every, _ in self.callbacks:
+            j = i if (i % every == 0 and i > 0) else i + every - i % every
+            if j < i + n - 1:
+                n = j - i + 1
+        return max(1, n)
+
     def run(self, start: int, iters: int) -> dict:
         """Train from ``start`` (exclusive of 0, matching the reference's
         1-based loop, ``main.py:343-344``) up to ``iters - 1``."""
@@ -247,19 +322,29 @@ class Trainer:
             return dict(self._last_metrics)
         t0 = time.time()
         rays_done = 0
-        for i in range(start, iters):
-            key = jax.random.fold_in(self.base_key, i)
+        i = start
+        while i < iters:
             precrop = i < self.cfg.precrop_iters
-            self.state, metrics = self.step_fn(
-                self.state, key, self.images, self.poses, self.train_idx,
-                precrop)
-            rays_done += self.cfg.n_rays
+            n = self._block_len(i, iters)
+            if n > 1 and n == self.steps_per_call:
+                self.state, metrics = self.scan_fn(
+                    self.state, self.base_key, self.images, self.poses,
+                    self.train_idx, jnp.int32(i), precrop)
+            else:
+                n = 1
+                key = jax.random.fold_in(self.base_key, i)
+                self.state, metrics = self.step_fn(
+                    self.state, key, self.images, self.poses,
+                    self.train_idx, precrop)
+            last = i + n - 1
+            i += n
+            rays_done += n * self.cfg.n_rays
             fired = False
             for every, fn in self.callbacks:
-                if i % every == 0 and i > 0:
+                if last % every == 0 and last > 0:
                     # Sync point: pull metrics only when a callback fires.
-                    fn(i, self, self._finalize_metrics(metrics, rays_done,
-                                                       t0))
+                    fn(last, self, self._finalize_metrics(metrics, rays_done,
+                                                          t0))
                     fired = True
             if fired:
                 # Restart the throughput window so slow callbacks (video

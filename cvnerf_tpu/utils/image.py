@@ -9,6 +9,7 @@ reference logs only raw MSE (SURVEY.md §4) — needed for the parity benchmark.
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 import imageio.v2 as imageio
@@ -55,7 +56,11 @@ def write_video(path: str, frames: np.ndarray, fps: int = 30) -> str:
             writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         writer.release()
         return path
-    except Exception:
+    except Exception as e:
+        # Degraded output must be attributable: name the encoder failure
+        # before falling back so disk-full / codec problems aren't silent.
+        print(f"[WARN] mp4 encode failed for {path} ({e!r}); "
+              "falling back to a PNG frame directory", file=sys.stderr)
         framedir = path + ".frames"
         os.makedirs(framedir, exist_ok=True)
         for i, f in enumerate(frames8):

@@ -39,9 +39,9 @@ def main(argv=None):
     from cvnerf_tpu.render.frames import render_poses_to_frames
     from cvnerf_tpu.render.renderer import RenderConfig
     from cvnerf_tpu.train.checkpoint import (
+        Checkpointer,
         latest_step,
         restore_checkpoint,
-        save_checkpoint,
     )
     from cvnerf_tpu.train.loop import TrainConfig, Trainer
     from cvnerf_tpu.train.state import create_train_state
@@ -157,9 +157,11 @@ def main(argv=None):
         near=scene.near, far=scene.far, n_rays=args.n_rays, lr=args.lr,
         lr_decay=args.lr_decay, precrop_iters=args.precrop_iters,
         precrop_frac=args.precrop_frac, ndc=scene.ndc,
-        ndc_variant=args.ndc_variant, render=rcfg_train)
+        ndc_variant=args.ndc_variant, pixel_sampling=args.pixel_sampling,
+        render=rcfg_train)
     trainer = Trainer(tcfg, state, scene.images, scene.poses,
-                      scene.train_idx, seed=args.seed, mesh=mesh)
+                      scene.train_idx, seed=args.seed, mesh=mesh,
+                      steps_per_call=args.steps_per_call)
     logger = MetricsLogger(run_dir)
 
     from cvnerf_tpu.train.state import make_lr_schedule
@@ -170,9 +172,13 @@ def main(argv=None):
                    rays_per_sec=m["rays_per_sec"],
                    lr=float(lr_sched(i)))
 
+    # One persistent manager for the whole run; saves are asynchronous so
+    # checkpoint I/O overlaps the following train steps.
+    ckpt_writer = Checkpointer(ckpt_dir)
+
     def ckpt_cb(i, tr, m):
-        save_checkpoint(ckpt_dir, tr.state)
-        print(f"Checkpoint saved at step {i}")
+        ckpt_writer.save(tr.state)
+        print(f"Checkpoint save enqueued at step {i}")
 
     def _non_fatal(fn):
         # Eval/render failures must not kill training (SURVEY.md §5 —
@@ -214,7 +220,8 @@ def main(argv=None):
     else:
         final = trainer.run(start + 1, args.iters)
 
-    save_checkpoint(ckpt_dir, trainer.state)
+    ckpt_writer.save(trainer.state, wait=True)   # final save is durable
+    ckpt_writer.close()
     logger.log(int(trainer.state.step), **final)
 
     # Final held-out evaluation (the reference computes no quantitative

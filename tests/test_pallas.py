@@ -14,6 +14,7 @@ from cvnerf_tpu.models.nerf_mlp import (
 from cvnerf_tpu.ops.encoding import freq_encode
 from cvnerf_tpu.ops.pallas.fused_mlp import (
     _encoding_constants,
+    _split_rows,
     fused_nerf_apply,
 )
 
@@ -25,10 +26,21 @@ def _oracle(params, points, viewdirs, cfg, compute_dtype=jnp.float32):
 
 
 def test_encoding_constants_match_freq_encode():
+    """P @ split(x) recovers the fp32 phases 2^k·x BIT-exactly, and the
+    masked-trig form reproduces freq_encode."""
     p, m_id, m_sin, m_cos = _encoding_constants(4, 32)
     x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
     x4 = np.concatenate([x, np.zeros((5, 1), np.float32)], -1)
-    s = x4 @ np.asarray(p).T
+    xs = np.asarray(_split_rows(jnp.asarray(x4.T)), np.float32)   # [16, 5]
+    # exact mantissa split: the three slices sum back to x bitwise
+    np.testing.assert_array_equal(xs[0:4] + xs[4:8] + xs[8:12], x4.T)
+    s = (np.asarray(p, np.float32) @ xs).T                        # [5, 32]
+    # phases are bit-exact vs direct 2^k·x (both exponent-shift exact)
+    col = 3
+    for k in range(4):
+        for _ in range(2):
+            np.testing.assert_array_equal(s[:, col:col + 3], (2.0 ** k) * x)
+            col += 3
     enc = (np.asarray(m_id).T * s + np.asarray(m_sin).T * np.sin(s)
            + np.asarray(m_cos).T * np.cos(s))
     expected = np.asarray(freq_encode(jnp.asarray(x), 4))

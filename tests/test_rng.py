@@ -76,3 +76,55 @@ def test_typed_and_legacy_keys_agree():
     legacy = ray_uniform(jax.random.PRNGKey(9), 1, ids, 4)
     typed = ray_uniform(jax.random.key(9), 1, ids, 4)
     np.testing.assert_array_equal(np.asarray(legacy), np.asarray(typed))
+
+
+def test_sorted_uniform_is_order_statistics():
+    """Ascending per ray, U(0,1) marginals, order-statistic means i/(n+1),
+    and partition-invariant."""
+    from cvnerf_tpu.ops.rng import ray_sorted_uniform
+    key = jax.random.PRNGKey(0)
+    ids = jnp.arange(4096, dtype=jnp.int32)
+    u = np.asarray(ray_sorted_uniform(key, 2, ids, 64))
+    assert (np.diff(u, axis=-1) >= 0).all()
+    assert (u >= 0).all() and (u <= 1).all()
+    flat = u.ravel()
+    assert abs(flat.mean() - 0.5) < 0.01
+    assert abs(flat.var() - 1.0 / 12.0) < 0.005
+    emp = u.mean(axis=0)
+    theo = np.arange(1, 65) / 65.0
+    assert np.abs(emp - theo).max() < 0.01
+    part = np.asarray(ray_sorted_uniform(
+        key, 2, jnp.arange(100, 200, dtype=jnp.int32), 64))
+    np.testing.assert_array_equal(u[100:200], part)
+
+
+def test_sample_without_replacement_is_permutation():
+    """n == m must yield a permutation of [0, m) for every key and size
+    (bijectivity is structural in the Feistel PRP)."""
+    import functools
+    from cvnerf_tpu.ops.rng import sample_without_replacement as swr
+    for m in (1, 2, 3, 5, 17, 100, 1000):
+        f = jax.jit(functools.partial(swr, n=m, m=m))
+        for k in range(5):
+            p = sorted(np.asarray(f(jax.random.PRNGKey(k))).tolist())
+            assert p == list(range(m)), (m, k)
+
+
+def test_sample_without_replacement_distinct_and_uniform():
+    import functools
+    from cvnerf_tpu.ops.rng import sample_without_replacement as swr
+    f = jax.jit(functools.partial(swr, n=1024, m=160000))
+    p = np.asarray(f(jax.random.PRNGKey(3)))
+    assert len(set(p.tolist())) == 1024
+    assert p.min() >= 0 and p.max() < 160000
+    # marginal uniformity of the first drawn index over keys
+    g = jax.jit(functools.partial(swr, n=4, m=16))
+    firsts = np.array([int(g(jax.random.PRNGKey(k))[0]) for k in range(800)])
+    counts = np.bincount(firsts, minlength=16)
+    chi2 = ((counts - 50.0) ** 2 / 50.0).sum()
+    assert chi2 < 50.0, counts  # 15 dof; 50 is ~p<1e-5
+
+def test_sample_without_replacement_rejects_oversample():
+    from cvnerf_tpu.ops.rng import sample_without_replacement as swr
+    with pytest.raises(ValueError):
+        swr(jax.random.PRNGKey(0), 10, 5)

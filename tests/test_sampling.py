@@ -118,3 +118,22 @@ def test_sample_pdf_matches_torch_reference_math():
         jax.random.uniform = orig
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_merge_sorted_equals_sort():
+    from cvnerf_tpu.ops.sampling import merge_sorted
+    rng = np.random.RandomState(1)
+    for la, lb in ((64, 128), (8, 8), (1, 7), (5, 3)):
+        a = np.sort(rng.rand(50, la).astype(np.float32), -1)
+        b = np.sort(rng.rand(50, lb).astype(np.float32), -1)
+        got = np.asarray(merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+        want = np.sort(np.concatenate([a, b], -1), -1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_merge_sorted_with_duplicates_and_ties():
+    from cvnerf_tpu.ops.sampling import merge_sorted
+    a = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
+    b = jnp.asarray([[0.5, 0.5]])
+    got = np.asarray(merge_sorted(a, b))
+    np.testing.assert_array_equal(got, [[0.0, 0.5, 0.5, 0.5, 0.5, 1.0]])

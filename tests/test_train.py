@@ -156,3 +156,29 @@ def test_overfit_micro_scene():
     # reach a clearly-overfit level on this trivial scene.
     assert final["psnr"] > psnrs[0] + 3.0, (psnrs, final)
     assert final["psnr"] > 18.0, (psnrs, final)
+
+
+def test_scan_matches_single_step_bitwise():
+    """The multi-step scan path (steps_per_call > 1) reproduces the
+    single-step path exactly: same per-step fold_in(base_key, i) keys, same
+    step core, so params after N steps are bitwise identical — including
+    across the precrop transition and a callback boundary mid-run."""
+    images, poses = _tiny_scene()
+    cfg = _tiny_cfg(n_rays=32, precrop_iters=3)
+
+    def run(steps_per_call):
+        state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                                   lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+        tr = Trainer(cfg, state, images, poses, [0], seed=0,
+                     steps_per_call=steps_per_call)
+        fired = []
+        tr.add_callback(5, lambda i, t, m: fired.append(i))
+        m = tr.run(1, 13)
+        return tr.state, m, fired
+
+    s1, m1, f1 = run(1)
+    s4, m4, f4 = run(4)
+    assert f1 == f4 == [5, 10]
+    assert m1["loss"] == m4["loss"]
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

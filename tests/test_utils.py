@@ -1,11 +1,14 @@
 """Tests for host utilities: image conversion, PSNR, video, metrics,
 checkpointing."""
 
+import dataclasses
 import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cvnerf_tpu.utils.image import psnr, psnr_images, to_byte, write_png, \
     write_video
@@ -94,3 +97,40 @@ def test_restore_missing_returns_none(tmp_path):
                         head_width=8)
     template = create_train_state(jax.random.PRNGKey(0), mlp=mlp)
     assert restore_checkpoint(str(tmp_path / "none"), template) is None
+
+
+def test_async_checkpointer_overlaps_and_resumes(tmp_path):
+    """A persistent Checkpointer: async saves don't block further updates,
+    a later synchronous save drains cleanly, every retained step restores,
+    and the stale-dir guard still raises."""
+    import jax
+    import numpy as np
+    from cvnerf_tpu.train.checkpoint import Checkpointer, restore_checkpoint
+    from cvnerf_tpu.train.state import create_train_state
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+
+    mlp = NerfMLPConfig(xyz_freqs=2, dir_freqs=1, trunk_width=16,
+                        head_width=8)
+    template = create_train_state(jax.random.PRNGKey(0), lr=1e-3,
+                                  lr_decay=250, mlp=mlp)
+    d = str(tmp_path / "ck")
+    with Checkpointer(d, max_to_keep=5) as ck:
+        state = template
+        for step in (5, 10, 15):
+            state = dataclasses.replace(
+                state, step=jnp.asarray(step, jnp.int32))
+            ck.save(state)           # async: returns before the write lands
+        ck.save(dataclasses.replace(state,
+                                    step=jnp.asarray(20, jnp.int32)),
+                wait=True)
+        assert ck.latest_step() == 20
+        # duplicate-step save is benign
+        ck.save(dataclasses.replace(state,
+                                    step=jnp.asarray(20, jnp.int32)))
+        # stale (lower-step) save must raise, not silently no-op
+        with pytest.raises(RuntimeError):
+            ck.save(dataclasses.replace(state,
+                                        step=jnp.asarray(3, jnp.int32)))
+    for step in (5, 10, 15, 20):
+        restored = restore_checkpoint(d, template, step=step)
+        assert int(restored.step) == step
