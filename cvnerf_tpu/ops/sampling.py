@@ -95,11 +95,13 @@ def sample_pdf(key: jax.Array | None,
     the uniform within its CDF bin with an ε-guard on degenerate bins.
 
     Args:
-        bins: ``[n_rays, n_weights + 1]`` sample positions (coarse bin
-            midpoints at the call site, reference ``main.py:248``). One wider
-            than ``weights`` so it aligns with the zero-prepended CDF — the
-            same convention the reference relies on (its gather indexes
-            ``pts`` and ``cdf`` with identical indices, ``utils.py:44-47``).
+        bins: ``[n_rays, n_weights + 1]`` sample positions, ASCENDING along
+            the last axis (coarse bin midpoints at the call site, reference
+            ``main.py:248`` — sorted by construction). One wider than
+            ``weights`` so it aligns with the zero-prepended CDF — the same
+            convention the reference relies on (its gather indexes ``pts``
+            and ``cdf`` with identical indices, ``utils.py:44-47``). The
+            masked-reduction bracketing below relies on this monotonicity.
         weights: ``[n_rays, n_weights]`` unnormalized weights
             (``weights[..., 1:-1]`` at the call site, reference
             ``main.py:249``).
@@ -129,28 +131,29 @@ def sample_pdf(key: jax.Array | None,
             f"bins must be one wider than weights: got bins[..., "
             f"{bins.shape[-1]}] vs weights[..., {weights.shape[-1]}]")
 
-    # Right-bisection per ray as a compare-and-count (identical result to
-    # searchsorted(side="right")): binary search + gather lower terribly on
-    # TPU (lane-crossing dynamic indexing; the vmapped-searchsorted version
-    # of this function took minutes to *compile* and dominated render time),
-    # while a [q, n_bins] comparison + one-hot contraction is plain VPU/MXU
-    # work. n_bins is ~64, so the extra O(n_bins) compares per sample are
-    # free next to the MLP.
-    nb = cdf.shape[-1]
-    idx = jnp.sum((u[..., :, None] >= cdf[..., None, :]),
-                  axis=-1).astype(jnp.int32)           # [n, q]
-    upper = jnp.minimum(nb - 1, idx)
-    lower = jnp.maximum(0, idx - 1)
-
-    # Gather cdf/bin values via one-hot contraction (no dynamic indexing).
-    iota = jnp.arange(nb, dtype=jnp.int32)
-    oh_lo = (lower[..., :, None] == iota).astype(cdf.dtype)   # [n, q, nb]
-    oh_hi = (upper[..., :, None] == iota).astype(cdf.dtype)
-    vals = jnp.stack([cdf, bins], axis=-1)                    # [n, nb, 2]
-    lo = jnp.einsum("...qb,...bk->...qk", oh_lo, vals)
-    hi = jnp.einsum("...qb,...bk->...qk", oh_hi, vals)
-    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
-    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
+    # Right-bisection per ray WITHOUT searchsorted/gather: binary search +
+    # gather lower terribly on TPU (lane-crossing dynamic indexing; the
+    # vmapped-searchsorted version of this function took minutes to
+    # *compile* and dominated render time). Both cdf and bins are ascending
+    # along the bin axis, so the bracketing values are masked reductions
+    # over a [q, n_bins] comparison — pure VPU work, no index materialization
+    # (round 1 used one-hot contractions here, which materialized two
+    # [n, q, n_bins] one-hots; the masked min/max form is the same math).
+    #   lower = idx-1 clamped → the LAST bin with cdf <= u   (max over mask)
+    #   upper = idx clamped   → the FIRST bin with cdf > u   (min over mask)
+    ge = u[..., :, None] >= cdf[..., None, :]                 # [n, q, nb]
+    ninf = jnp.asarray(-jnp.inf, cdf.dtype)
+    pinf = jnp.asarray(jnp.inf, cdf.dtype)
+    cdf_q = cdf[..., None, :]
+    bins_q = bins[..., None, :]
+    # cdf[0] = 0 <= u always, so the "lower" masks are never empty.
+    cdf_lo = jnp.max(jnp.where(ge, cdf_q, ninf), axis=-1)
+    bin_lo = jnp.max(jnp.where(ge, bins_q, ninf), axis=-1)
+    # u >= every cdf (idx = nb, clamped to nb-1): empty mask → last bin.
+    cdf_hi = jnp.min(jnp.where(ge, pinf, cdf_q), axis=-1)
+    bin_hi = jnp.min(jnp.where(ge, pinf, bins_q), axis=-1)
+    cdf_hi = jnp.where(jnp.isfinite(cdf_hi), cdf_hi, cdf[..., -1:])
+    bin_hi = jnp.where(jnp.isfinite(bin_hi), bin_hi, bins[..., -1:])
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
