@@ -112,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="positional-encoding L for xyz")
     p.add_argument("--dir_freqs", type=int, default=4,
                    help="positional-encoding L for view directions")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host coordinator address host:port — one JAX "
+                        "process per host; also via JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host process count (with --coordinator)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this host's process index (with --coordinator)")
     p.add_argument("--pixel_sampling", type=str, default="prp",
                    choices=["prp", "parity", "replace"],
                    help="per-step pixel draw: prp = without replacement via "

@@ -272,12 +272,14 @@ class Trainer:
             # Replicate state and the device-resident dataset across the
             # mesh (a freshly-restored checkpoint otherwise sits on one
             # device and conflicts with the in-step sharding constraints).
-            from cvnerf_tpu.parallel.mesh import replicated_sharding
-            rep = replicated_sharding(mesh)
-            self.state = jax.device_put(self.state, rep)
-            self.images = jax.device_put(self.images, rep)
-            self.poses = jax.device_put(self.poses, rep)
-            self.train_idx = jax.device_put(self.train_idx, rep)
+            # replicate_to_mesh also handles multi-process meshes, where
+            # each host holds the same data (deterministic loaders + shared
+            # seed) and the global array is assembled host-locally.
+            from cvnerf_tpu.parallel.mesh import replicate_to_mesh
+            self.state = replicate_to_mesh(self.state, mesh)
+            self.images = replicate_to_mesh(self.images, mesh)
+            self.poses = replicate_to_mesh(self.poses, mesh)
+            self.train_idx = replicate_to_mesh(self.train_idx, mesh)
         self.callbacks: list[tuple[int, Callable[[int, "Trainer", dict], None]]] = []
         self._last_metrics: dict[str, Any] = {}
 

@@ -22,6 +22,13 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
+    # Multi-host (opt-in): must run before any other JAX API so the
+    # coordination service wires DCN across hosts (SURVEY.md §2.4).
+    from cvnerf_tpu.parallel.mesh import initialize_distributed
+    if initialize_distributed(args.coordinator, args.num_processes,
+                              args.process_id):
+        print(f"Distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     # Persistent XLA compile cache: full-frame render programs take minutes
