@@ -29,6 +29,19 @@ class MetricsLogger:
                 pass
         self._t0 = time.time()
 
+    def log_image(self, step: int, tag: str, image) -> None:
+        """Write a render thumbnail into the TensorBoard event stream.
+
+        ``image``: float [H, W, 3] in [0, 1] (HWC). No-op without a TB
+        writer — the PNG/mp4 artifacts remain the primary image record.
+        """
+        if self._tb is None:
+            return
+        import numpy as np
+        img = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+        self._tb.add_image(tag, (img * 255).astype(np.uint8), step,
+                           dataformats="HWC")
+
     def log(self, step: int, **metrics: Any) -> None:
         rec = {"step": step, "time": round(time.time() - self._t0, 3)}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)

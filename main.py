@@ -137,8 +137,9 @@ def main(argv=None):
             os.path.join(save_dir, f"{args.name}_spiral_{step:06d}_rgb.mp4"),
             frames, fps=30)
         print(f"Wrote video: {out} ({frames.shape[0]} frames)")
+        return frames
 
-    def val_psnr(params) -> float:
+    def val_psnr(params):
         from cvnerf_tpu.render.frames import render_image
         i = int(scene.val_idx[0]) if len(scene.val_idx) else 0
         out = render_image(
@@ -146,7 +147,8 @@ def main(argv=None):
             scene.focal, jnp.asarray(scene.poses[i]), scene.near, scene.far,
             rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
             chunk=render_chunk, mesh=mesh if n_dev > 1 else None)
-        return psnr_images(np.asarray(out["rgb"]), scene.images[i])
+        rgb = np.asarray(out["rgb"])
+        return psnr_images(rgb, scene.images[i]), rgb
 
     # --- render-only mode (the reference parses this flag but ignores it,
     # main.py:436; honored here) ---
@@ -200,12 +202,14 @@ def main(argv=None):
 
     @_non_fatal
     def vid_cb(i, tr, m):
-        spiral_video(i, tr.state.params)
+        frames = spiral_video(i, tr.state.params)
+        logger.log_image(i, "spiral_frame0", frames[0])
 
     @_non_fatal
     def val_cb(i, tr, m):
-        v = val_psnr(tr.state.params)
+        v, rgb = val_psnr(tr.state.params)
         logger.log(i, val_psnr=v)
+        logger.log_image(i, "val_render", rgb)
 
     trainer.add_callback(args.print_freq, log_cb)
     if args.ckpt_freq > 0:
