@@ -117,14 +117,14 @@ def bench(train_steps: int = 200, warmup: int = 20,
     def do_render():
         out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
                            focal, c2w, 2.0, 6.0, rcfg_test,
-                           chunk=min(8192, H * W),
+                           chunk=min(4096, H * W),
                            mesh=mesh if n_chips > 1 else None)
         np.asarray(out["rgb"])
         return out
 
     do_render()  # compile
     t0 = time.perf_counter()
-    n_render = 2
+    n_render = 4
     for _ in range(n_render):
         do_render()
     render_dt = time.perf_counter() - t0
@@ -187,7 +187,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
         def do_render_off():
             out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
                                focal, c2w, 2.0, 6.0, rcfg_off.eval_mode(),
-                               chunk=8192,
+                               chunk=4096,
                                mesh=mesh if n_chips > 1 else None)
             np.asarray(out["rgb"])
 

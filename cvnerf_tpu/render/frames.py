@@ -38,7 +38,7 @@ def render_image(key: jax.Array,
                  cfg: RenderConfig,
                  ndc: bool = False,
                  ndc_variant: str = "canonical",
-                 chunk: int = 32768,
+                 chunk: int = 4096,
                  mesh=None) -> dict:
     """Render one ``[H, W]`` frame from a camera pose.
 
@@ -67,7 +67,7 @@ def render(key: jax.Array,
            height: int,
            width: int,
            focal: float,
-           chunk: int = 32768,
+           chunk: int = 4096,
            rays: tuple[jnp.ndarray, jnp.ndarray] | None = None,
            c2w: jnp.ndarray | None = None,
            ndc: bool = True,
@@ -120,7 +120,7 @@ def render_poses_to_frames(key: jax.Array,
                            cfg: RenderConfig,
                            ndc: bool = False,
                            ndc_variant: str = "canonical",
-                           chunk: int = 32768,
+                           chunk: int = 4096,
                            factor: int = 0,
                            on_frame: Callable[[int, np.ndarray], None] | None = None,
                            mesh=None) -> np.ndarray:

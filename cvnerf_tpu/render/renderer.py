@@ -222,7 +222,7 @@ def render_rays_chunked(key: jax.Array,
                         near: float,
                         far: float,
                         cfg: RenderConfig,
-                        chunk: int = 32768,
+                        chunk: int = 4096,
                         mesh=None) -> dict:
     """Memory-bounded render of a large flat ray batch, inside jit.
 

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 
 from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
-from cvnerf_tpu.parallel.mesh import make_mesh, replicated_sharding
+from cvnerf_tpu.parallel.mesh import make_mesh, replicate_to_mesh
 from cvnerf_tpu.render.frames import render_image, render_poses_to_frames
 from cvnerf_tpu.render.renderer import RenderConfig
 from cvnerf_tpu.train.checkpoint import restore_checkpoint
@@ -82,8 +82,9 @@ class NerfRenderer:
         self.mesh = mesh if (mesh is not None
                              and mesh.devices.size > 1) else None
         if self.mesh is not None:
-            self.params = jax.device_put(
-                self.params, replicated_sharding(self.mesh))
+            # multihost-safe replication (host-local assembly under
+            # multi-process JAX; plain device_put otherwise)
+            self.params = replicate_to_mesh(self.params, self.mesh)
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
         """Render one ``[H, W, 3]`` view from a ``[3+,4]`` c2w pose."""

@@ -43,7 +43,9 @@ def test_parse_reference_config_file(tmp_path):
     assert args.precrop_frac == 0.5
     # Untouched defaults survive.
     assert args.lr == 5e-4
-    assert args.chunk == 32768
+    # our TPU-tuned render-chunk default (deviation from the reference's
+    # 32768, documented in config.py)
+    assert args.chunk == 4096
 
 
 def test_cli_overrides_config_file(tmp_path):

