@@ -144,7 +144,6 @@ def build_parser() -> argparse.ArgumentParser:
 _BOOL_FLAGS = {"no_reload", "render_only", "render_test", "white_bkg",
                "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
                "deterministic_resample"}
-_STORE_TRUE = _BOOL_FLAGS  # historical alias
 
 
 def _config_file_to_argv(path: str) -> list[str]:

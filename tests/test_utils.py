@@ -134,3 +134,35 @@ def test_async_checkpointer_overlaps_and_resumes(tmp_path):
     for step in (5, 10, 15, 20):
         restored = restore_checkpoint(d, template, step=step)
         assert int(restored.step) == step
+
+
+def test_async_save_safe_against_donation(tmp_path):
+    """An async save must capture the state before the caller's next
+    donated step reuses the buffers (orbax copies device->host synchronously
+    inside save(); only the filesystem write is backgrounded). Mutating the
+    state through a donated jit immediately after save() must not corrupt
+    the checkpoint."""
+    import jax
+    from cvnerf_tpu.train.checkpoint import Checkpointer, restore_checkpoint
+    from cvnerf_tpu.train.state import create_train_state
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+
+    mlp = NerfMLPConfig(xyz_freqs=2, dir_freqs=1, trunk_width=16,
+                        head_width=8)
+    state = create_train_state(jax.random.PRNGKey(0), lr=1e-3, lr_decay=250,
+                               mlp=mlp)
+    state = dataclasses.replace(state, step=jnp.asarray(7, jnp.int32))
+    expected = jax.tree.map(np.asarray, state.params)
+
+    clobber = jax.jit(lambda p: jax.tree.map(lambda x: x * 0.0 + 123.0, p),
+                      donate_argnums=(0,))
+    d = str(tmp_path / "ck")
+    with Checkpointer(d) as ck:
+        ck.save(state)                      # async
+        _ = clobber(state.params)           # donates/reuses the buffers NOW
+    restored = restore_checkpoint(d, create_train_state(
+        jax.random.PRNGKey(1), lr=1e-3, lr_decay=250, mlp=mlp))
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(expected),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
