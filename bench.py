@@ -102,12 +102,20 @@ def bench(train_steps: int = 200, warmup: int = 20,
     def sync():
         np.asarray(jax.tree.leaves(tr.state.params)[0])
 
+    # Median of 3 measurement windows: the tunneled-TPU runtime shows ~±10%
+    # process-level jitter (host dispatch through the tunnel), and a single
+    # window inherits it all; the median window is stable to ~±1%.
     tr.run(1, warmup + 1)                      # compile + warm up
     sync()
-    t0 = time.perf_counter()
-    final = tr.run(warmup + 1, warmup + train_steps + 1)
-    sync()
-    train_dt = time.perf_counter() - t0
+    windows = []
+    base = warmup + 1
+    for _ in range(1 if smoke else 3):
+        t0 = time.perf_counter()
+        final = tr.run(base, base + train_steps)
+        sync()
+        windows.append(time.perf_counter() - t0)
+        base += train_steps
+    train_dt = sorted(windows)[len(windows) // 2]
     train_rays_sec = train_steps * cfg.n_rays / train_dt
 
     # --- render throughput (eval path) ---
@@ -123,12 +131,15 @@ def bench(train_steps: int = 200, warmup: int = 20,
         return out
 
     do_render()  # compile
-    t0 = time.perf_counter()
     n_render = 4
+    frame_times = []
     for _ in range(n_render):
+        t0 = time.perf_counter()
         do_render()
-    render_dt = time.perf_counter() - t0
-    render_rays_sec = n_render * H * W / render_dt
+        frame_times.append(time.perf_counter() - t0)
+    # Median frame (same jitter rationale as the train windows).
+    render_dt = sorted(frame_times)[len(frame_times) // 2]
+    render_rays_sec = H * W / render_dt
 
     result = {
         "metric": "train_rays_per_sec_per_chip_lego_workload",
@@ -137,7 +148,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
         "vs_baseline": 0.0,
         "render_rays_per_sec_per_chip": round(render_rays_sec / n_chips, 1),
         "train_step_ms": round(1000 * train_dt / train_steps, 2),
-        "frame_400x400_ms": round(1000 * render_dt / n_render, 1),
+        "frame_400x400_ms": round(1000 * render_dt, 1),
         "n_chips": n_chips,
         "final_loss": round(float(final["loss"]), 5),
         "baseline_rays_per_sec_estimated": REFERENCE_GPU_RAYS_PER_SEC,
