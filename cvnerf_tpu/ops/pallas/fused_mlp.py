@@ -15,15 +15,20 @@ Design notes:
     ``W^T[out,in] @ h[in,T]`` — both operands MXU-aligned for any trunk width
     that is a multiple of 8. Inputs arrive as ``[16, N]`` bf16 mantissa
     slices (a full bf16 tile), outputs leave as ``[4, N]`` (rgb, sigma).
-  * **Encoding as an exact bf16 matmul + masked trig.** The frequency
-    encoding ``[x, sin(2^k x), cos(2^k x)]`` is computed as ``S = P @ x_split``
-    followed by columnwise ``id·S + sin_mask·sin(S) + cos_mask·cos(S)``.
-    ``x_split`` holds three exact bf16 mantissa slices of each fp32
-    coordinate and every ``P`` entry is a power of two, so a single
-    DEFAULT-precision bf16 MXU pass reproduces the fp32 phases ``2^k·x``
-    bit-exactly (see ``_split_rows``) — replacing round 1's 6-pass
-    fp32-HIGHEST dot (~13% of kernel time). The trig stays in fp32 (bf16
-    mantissas are useless at ``2^9·x`` phase magnitudes).
+  * **Encoding as an exact bf16 matmul + block trig.** The frequency
+    encoding ``[x, sin(2^k x), cos(2^k x)]`` is computed as ``S = P @
+    x_split`` followed by per-block trig: rows live in 8-aligned ``[id |
+    sin | cos]`` blocks (``_enc_layout``), so ``sin``/``cos`` each run
+    over exactly one contiguous block instead of both over every row with
+    masks (the masked form cost ~15% of round-2 kernel time; this halves
+    the transcendentals and deletes the 5-op combine). Consumer weights'
+    columns are permuted into block order at pack time. ``x_split`` holds
+    three exact bf16 mantissa slices of each fp32 coordinate and every
+    ``P`` entry is a power of two, so a single DEFAULT-precision bf16 MXU
+    pass reproduces the fp32 phases ``2^k·x`` bit-exactly (see
+    ``_split_rows``) — replacing round 1's 6-pass fp32-HIGHEST dot (~13%
+    of kernel time). The trig stays in fp32 (bf16 mantissas are useless at
+    ``2^9·x`` phase magnitudes).
   * **Skip/concat as split matmuls.** The xyz skip at layer 6 and the
     viewdir concat at layer 10 (reference model.py:94,103) are algebraically
     ``W6a@h + W6b@enc`` — avoiding in-kernel concatenation on the sublane
@@ -73,46 +78,69 @@ def _forward_flops(cfg: NerfMLPConfig) -> int:
     return 2 * macs
 
 
-def _encoding_constants(n_freqs: int, pad_to: int):
-    """Constant (P, id/sin/cos masks) arrays realizing freq_encode as
-    ``mask_id*(P@x) + mask_sin*sin(P@x) + mask_cos*cos(P@x)``.
+def _enc_layout(n_freqs: int) -> tuple[int, int, np.ndarray]:
+    """Kernel-internal row layout of one frequency encoding.
 
-    Column layout matches ``ops.encoding.freq_encode`` exactly:
-    ``[x(3) | sin(2^0 x)(3) cos(2^0 x)(3) | sin(2^1 x)(3) ...]``.
+    Rows are three 8-aligned blocks: ``[id(3, pad to 8) | sin(3·L, pad to
+    multiple of 8) | cos(3·L, pad to multiple of 8)]`` — so the kernel
+    applies ``sin``/``cos`` to exactly one contiguous sublane-aligned block
+    each, instead of evaluating BOTH trig functions over every row and
+    masking (which cost ~15% of round-2's kernel time; the trig itself and
+    the 5-op masked combine halve/vanish here).
 
-    ``P`` is ``[pad_to, 16]`` **bfloat16** over the split input layout of
-    ``_split_rows`` (three 4-row groups holding exact bf16 mantissa slices
-    of each coordinate): ``P[row, 4j+i] = 2^k`` for every split ``j``. All
-    entries are powers of two — exactly representable in bf16 — and each
-    product ``2^k · slice`` is exact in the MXU's fp32 accumulator, so ONE
-    DEFAULT-precision bf16 pass reproduces the fp32 ``2^k · x`` phases
-    bit-exactly (the round-1 kernel burned ~13% of its time running this
-    dot at fp32 HIGHEST, i.e. 6 MXU passes).
+    The layout is invisible outside the kernel: ``_pack_params`` permutes
+    the columns of the consuming weights (l1, l6's encoding part, l10's
+    dir part) into this order, and ``_unpack_grads`` inverts it.
+
+    Returns ``(rows, sin_rows, perm)`` where ``rows`` is the total padded
+    row count, ``sin_rows`` the (padded) size of each trig block, and
+    ``perm[d]`` the kernel row holding oracle dimension ``d`` of
+    ``ops.encoding.freq_encode``'s layout ``[x | sin(2^0 x) cos(2^0 x) |
+    sin(2^1 x) ...]``.
     """
     dim = 3
-    out = dim + 2 * dim * n_freqs
+    sin_rows = _round_up(dim * n_freqs, 8)
+    rows = 8 + 2 * sin_rows
+    perm = np.zeros(dim + 2 * dim * n_freqs, np.int32)
+    for i in range(dim):
+        perm[i] = i
+    for k in range(n_freqs):
+        for i in range(dim):
+            perm[dim + 6 * k + i] = 8 + 3 * k + i                  # sin
+            perm[dim + 6 * k + dim + i] = 8 + sin_rows + 3 * k + i  # cos
+    return rows, sin_rows, perm
+
+
+def _encoding_constants(n_freqs: int):
+    """The phase matrix ``P`` realizing freq_encode's phases as one bf16
+    MXU pass over the split input layout of ``_split_rows``.
+
+    ``P`` is ``[rows, 16]`` **bfloat16** (rows per ``_enc_layout``):
+    ``P[row, 4j+i] = 2^k`` for every mantissa slice ``j`` of coordinate
+    ``i``. All entries are powers of two — exactly representable in bf16 —
+    and each product ``2^k · slice`` is exact in the MXU's fp32
+    accumulator, so ONE DEFAULT-precision bf16 pass reproduces the fp32
+    ``2^k · x`` phases bit-exactly (the round-1 kernel burned ~13% of its
+    time running this dot at fp32 HIGHEST, i.e. 6 MXU passes).
+    """
+    dim = 3
+    rows, sin_rows, perm = _enc_layout(n_freqs)
 
     def put(p, row, i, scale):
         for j in range(3):          # identical coefficient for each slice
             p[row, 4 * j + i] = scale
 
-    p = np.zeros((pad_to, 16), np.float32)
-    m_id = np.zeros((pad_to, 1), np.float32)
-    m_sin = np.zeros((pad_to, 1), np.float32)
-    m_cos = np.zeros((pad_to, 1), np.float32)
+    p = np.zeros((rows, 16), np.float32)
     for i in range(dim):
         put(p, i, i, 1.0)
-        m_id[i] = 1.0
     col = dim
     for k in range(n_freqs):
-        for trig, mask in ((0, m_sin), (1, m_cos)):
+        for _trig in range(2):
             for i in range(dim):
-                put(p, col, i, 2.0 ** k)
-                mask[col] = 1.0
+                put(p, int(perm[col]), i, 2.0 ** k)
                 col += 1
-    assert col == out
-    return jnp.asarray(p, jnp.bfloat16), jnp.asarray(m_id), \
-        jnp.asarray(m_sin), jnp.asarray(m_cos)
+    assert col == dim + 2 * dim * n_freqs
+    return jnp.asarray(p, jnp.bfloat16)
 
 
 def _split_rows(a_t: jnp.ndarray) -> jnp.ndarray:
@@ -136,9 +164,13 @@ def _split_rows(a_t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pack_params(params: dict, cfg: NerfMLPConfig, compute_dtype: Any):
-    """Pytree params → kernel operand list (transposed, padded, cast)."""
-    ex = _round_up(cfg.xyz_dim, 8)    # 63 → 64
-    ed = _round_up(cfg.dir_dim, 8)    # 27 → 32
+    """Pytree params → kernel operand list (transposed, padded, cast).
+
+    Weights that consume an encoding (l1, l6's xyz part, l10's dir part)
+    have their input columns permuted into ``_enc_layout``'s block order.
+    """
+    ex, _, perm_x = _enc_layout(cfg.xyz_freqs)
+    ed, _, perm_d = _enc_layout(cfg.dir_freqs)
     w = cfg.trunk_width
     h = cfg.head_width
     cdt = compute_dtype
@@ -149,22 +181,24 @@ def _pack_params(params: dict, cfg: NerfMLPConfig, compute_dtype: Any):
     def b(name):   # bias as [out, 1] fp32
         return params[name]["b"][:, None].astype(jnp.float32)
 
-    def pad_in(mat, rows):  # pad input(=second) dim of [out, in]
-        return jnp.pad(mat, ((0, 0), (0, rows - mat.shape[1])))
+    def scatter_in(mat, perm, rows):
+        """Place input(=second-dim) columns at ``perm``; zeros elsewhere."""
+        out = jnp.zeros((mat.shape[0], rows), mat.dtype)
+        return out.at[:, perm].set(mat)
 
     def pad_out(mat, rows):  # pad output(=first) dim
         return jnp.pad(mat, ((0, rows - mat.shape[0]), (0, 0)))
 
     xd, dd = cfg.xyz_dim, cfg.dir_dim
     ops = [
-        pad_in(wt("l1"), ex).astype(cdt), b("l1"),
+        scatter_in(wt("l1"), perm_x, ex).astype(cdt), b("l1"),
         wt("l2").astype(cdt), b("l2"),
         wt("l3").astype(cdt), b("l3"),
         wt("l4").astype(cdt), b("l4"),
         wt("l5").astype(cdt), b("l5"),
         # l6 input order is [xyz_enc | hidden] (reference model.py:94):
-        wt("l6")[:, xd:].astype(cdt),              # w6a: hidden part
-        pad_in(wt("l6")[:, :xd], ex).astype(cdt),  # w6b: encoding part
+        wt("l6")[:, xd:].astype(cdt),                          # w6a: hidden
+        scatter_in(wt("l6")[:, :xd], perm_x, ex).astype(cdt),  # w6b: encoding
         b("l6"),
         wt("l7").astype(cdt), b("l7"),
         wt("l8").astype(cdt), b("l8"),
@@ -172,8 +206,8 @@ def _pack_params(params: dict, cfg: NerfMLPConfig, compute_dtype: Any):
         pad_out(wt("alpha"), 8).astype(cdt),
         pad_out(b("alpha"), 8),
         # l10 input order is [feat | dir_enc] (reference model.py:103):
-        wt("l10")[:, :w].astype(cdt),              # w10a: feature part
-        pad_in(wt("l10")[:, w:], ed).astype(cdt),  # w10b: dir-encoding part
+        wt("l10")[:, :w].astype(cdt),                          # w10a: feature
+        scatter_in(wt("l10")[:, w:], perm_d, ed).astype(cdt),  # w10b: dir enc
         b("l10"),
         pad_out(wt("l11"), 8).astype(cdt),
         pad_out(b("l11"), 8),
@@ -188,7 +222,7 @@ def _layer_precision(compute_dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-def _encode_inputs(x_ref, d_ref, px, mix, msx, mcx, pd, mid, msd, mcd):
+def _encode_inputs(x_ref, d_ref, px, pd, sx, sd):
     """In-kernel frequency encodings (fp32 trig, exact phase scaling).
 
     Inputs are the ``[16, T]`` bf16 mantissa-slice layout of ``_split_rows``;
@@ -197,7 +231,12 @@ def _encode_inputs(x_ref, d_ref, px, mix, msx, mcx, pd, mid, msd, mcd):
     exact in the fp32 accumulator and the partial sums are mantissa prefixes
     of the fp32 result, so no rounding occurs anywhere.
 
-    Returns (enc_x, enc_d), both fp32 ``[EX/ED, T]``.
+    Rows follow ``_enc_layout``'s ``[id | sin | cos]`` blocks (``sx``/``sd``
+    are the trig-block sizes), so each trig function runs over exactly one
+    8-aligned block. Zero pad rows are harmless: ``sin(0)=0`` and the
+    ``cos(0)=1`` rows multiply zero weight columns.
+
+    Returns (enc_x, enc_d), both fp32 ``[rows_x/rows_d, T]``.
     """
     f32 = jnp.float32
 
@@ -205,10 +244,13 @@ def _encode_inputs(x_ref, d_ref, px, mix, msx, mcx, pd, mid, msd, mcd):
         return jnp.dot(a[:], b, preferred_element_type=f32,
                        precision=jax.lax.Precision.DEFAULT)
 
-    s = mm(px, x_ref[:])                           # [EX, T]
-    enc_x = mix[:] * s + msx[:] * jnp.sin(s) + mcx[:] * jnp.cos(s)
-    sd = mm(pd, d_ref[:])                          # [ED, T]
-    enc_d = mid[:] * sd + msd[:] * jnp.sin(sd) + mcd[:] * jnp.cos(sd)
+    def blocks(s, k):
+        return jnp.concatenate(
+            [s[0:8], jnp.sin(s[8:8 + k]), jnp.cos(s[8 + k:8 + 2 * k])],
+            axis=0)
+
+    enc_x = blocks(mm(px, x_ref[:]), sx)           # [rows_x, T]
+    enc_d = blocks(mm(pd, d_ref[:]), sd)           # [rows_d, T]
     return enc_x, enc_d
 
 
@@ -258,15 +300,14 @@ def _forward_body(enc_xc, enc_d_c,
     return sigma, rgb
 
 
-def _kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
+def _kernel(px, pd,
             x_ref, d_ref,
             w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
             w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
             wa, ba, w10a, w10b, b10, w11, b11,
-            o_ref, *, compute_dtype):
+            o_ref, *, compute_dtype, sx, sd):
     cdt = compute_dtype
-    enc_x, enc_d = _encode_inputs(x_ref, d_ref, px, mix, msx, mcx,
-                                  pd, mid, msd, mcd)
+    enc_x, enc_d = _encode_inputs(x_ref, d_ref, px, pd, sx, sd)
     sigma, rgb = _forward_body(
         enc_x.astype(cdt), enc_d.astype(cdt),
         w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
@@ -318,8 +359,8 @@ def fused_nerf_apply(params: dict,
     n = points.shape[0]
     n_pad = _round_up(max(n, tile), tile)
 
-    ex = _round_up(cfg.xyz_dim, 8)
-    ed = _round_up(cfg.dir_dim, 8)
+    ex, sx, _ = _enc_layout(cfg.xyz_freqs)
+    ed, sd, _ = _enc_layout(cfg.dir_freqs)
 
     # [16, N] bf16 mantissa-slice inputs (exact; see _split_rows), zero tail
     # padding. The split costs a few VPU ops outside the kernel, fused by
@@ -332,11 +373,11 @@ def fused_nerf_apply(params: dict,
     x_t = prep(points)
     d_t = prep(viewdirs)
 
-    px, mix, msx, mcx = _encoding_constants(cfg.xyz_freqs, ex)
-    pd, mid, msd, mcd = _encoding_constants(cfg.dir_freqs, ed)
+    px = _encoding_constants(cfg.xyz_freqs)
+    pd = _encoding_constants(cfg.dir_freqs)
     wops = _pack_params(params, cfg, compute_dtype)
 
-    consts = [px, mix, msx, mcx, pd, mid, msd, mcd]
+    consts = [px, pd]
 
     def const_spec(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -351,7 +392,8 @@ def fused_nerf_apply(params: dict,
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, compute_dtype=compute_dtype),
+        functools.partial(_kernel, compute_dtype=compute_dtype, sx=sx,
+                          sd=sd),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((8, tile), lambda i: (0, i),
@@ -361,7 +403,7 @@ def fused_nerf_apply(params: dict,
         cost_estimate=pl.CostEstimate(
             flops=_forward_flops(cfg) * n_pad,
             bytes_accessed=n_pad * 80,
-            transcendentals=2 * n_pad * (ex + ed),  # sin AND cos per row
+            transcendentals=2 * n_pad * (sx + sd),  # one trig per block row
         ),
     )(*consts, x_t, d_t, *wops)
 

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
 from cvnerf_tpu.ops.pallas.fused_mlp import (
+    _enc_layout,
     _encode_inputs,
     _encoding_constants,
     _forward_body,
@@ -48,12 +49,12 @@ _GRAD_NAMES = (
 )
 
 
-def _bwd_kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
+def _bwd_kernel(px, pd,
                 x_ref, d_ref, g_ref,
                 w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
                 w6a, w6b, b6, w7, b7, w8, b8, w9, b9,
                 wa, ba, w10a, w10b, b10, w11, b11,
-                *out_refs, compute_dtype):
+                *out_refs, compute_dtype, sx, sd):
     f32 = jnp.float32
     cdt = compute_dtype
     prec = _layer_precision(cdt)
@@ -72,8 +73,7 @@ def _bwd_kernel(px, mix, msx, mcx, pd, mid, msd, mcd,
 
     # ---- forward recompute via the SAME body as the forward kernel, so
     # relu masks and cast points match bit-for-bit by construction ----
-    enc_x, enc_d_f32 = _encode_inputs(x_ref, d_ref, px, mix, msx, mcx,
-                                      pd, mid, msd, mcd)
+    enc_x, enc_d_f32 = _encode_inputs(x_ref, d_ref, px, pd, sx, sd)
     enc_xc = enc_x.astype(cdt)
     enc_d = enc_d_f32.astype(cdt)
     (h1, h2, h3, h4, h5, h6, h7, h8, feat, h10, _sigma, _rgb) = \
@@ -164,8 +164,8 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
     n = points.shape[0]
     n_pad = _round_up(max(n, tile), tile)
 
-    ex = _round_up(cfg.xyz_dim, 8)
-    ed = _round_up(cfg.dir_dim, 8)
+    ex, sx, _ = _enc_layout(cfg.xyz_freqs)
+    ed, sd, _ = _enc_layout(cfg.dir_freqs)
 
     def prep(a, width):
         a = a.astype(jnp.float32)
@@ -177,9 +177,9 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
     d_t = _split_rows(prep(viewdirs, 4))
     g_t = prep(g, 8)   # upstream [n, 4] → [8, N] (pad tail rows zero)
 
-    px, mix, msx, mcx = _encoding_constants(cfg.xyz_freqs, ex)
-    pd, mid, msd, mcd = _encoding_constants(cfg.dir_freqs, ed)
-    consts = [px, mix, msx, mcx, pd, mid, msd, mcd]
+    px = _encoding_constants(cfg.xyz_freqs)
+    pd = _encoding_constants(cfg.dir_freqs)
+    consts = [px, pd]
     wops = _pack_params(params, cfg, compute_dtype)
 
     def const_spec(a):
@@ -203,7 +203,8 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
                               memory_space=pltpu.VMEM) for w in wops]
 
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, compute_dtype=compute_dtype),
+        functools.partial(_bwd_kernel, compute_dtype=compute_dtype,
+                          sx=sx, sd=sd),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -212,7 +213,7 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
         cost_estimate=pl.CostEstimate(
             flops=3 * _forward_flops(cfg) * n_pad,  # recompute+dgrad+wgrad
             bytes_accessed=n_pad * 64,
-            transcendentals=2 * n_pad * (ex + ed),
+            transcendentals=2 * n_pad * (sx + sd),
         ),
     )(*consts, x_t, d_t, g_t, *wops)
     return dict(zip(_GRAD_NAMES, grads))
@@ -220,8 +221,9 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
 
 def _unpack_grads(g: dict, cfg: NerfMLPConfig) -> dict:
     """Kernel-layout grads → standard params-pytree grads."""
-    xd, dd = cfg.xyz_dim, cfg.dir_dim
     w = cfg.trunk_width
+    _, _, perm_x = _enc_layout(cfg.xyz_freqs)
+    _, _, perm_d = _enc_layout(cfg.dir_freqs)
 
     def unw(mat, fan_in):  # [out, in_pad] → [fan_in, out]
         return mat[:, :fan_in].T
@@ -230,16 +232,19 @@ def _unpack_grads(g: dict, cfg: NerfMLPConfig) -> dict:
         return vec[:fan_out, 0]
 
     out = {}
-    for i in range(1, 6):
-        out[f"l{i}"] = {"w": unw(g[f"w{i}"], xd if i == 1 else w),
-                        "b": unb(g[f"b{i}"], w)}
+    # Encoding-consuming weights are packed in _enc_layout block order;
+    # gather the oracle columns back out (pad-row grads are discarded —
+    # those columns never exist in the pytree).
+    out["l1"] = {"w": g["w1"][:, perm_x].T, "b": unb(g["b1"], w)}
+    for i in range(2, 6):
+        out[f"l{i}"] = {"w": unw(g[f"w{i}"], w), "b": unb(g[f"b{i}"], w)}
     # l6 weight rows: [xyz_enc | hidden] (reference model.py:94).
-    w6 = jnp.concatenate([g["w6b"][:, :xd], g["w6a"]], axis=1)
+    w6 = jnp.concatenate([g["w6b"][:, perm_x], g["w6a"]], axis=1)
     out["l6"] = {"w": w6.T, "b": unb(g["b6"], w)}
     for i in (7, 8, 9):
         out[f"l{i}"] = {"w": unw(g[f"w{i}"], w), "b": unb(g[f"b{i}"], w)}
     out["alpha"] = {"w": g["wa"][:1, :].T, "b": unb(g["ba"], 1)}
-    w10 = jnp.concatenate([g["w10a"], g["w10b"][:, :dd]], axis=1)
+    w10 = jnp.concatenate([g["w10a"], g["w10b"][:, perm_d]], axis=1)
     out["l10"] = {"w": w10.T, "b": unb(g["b10"], cfg.head_width)}
     out["l11"] = {"w": g["w11"][:3, :].T, "b": unb(g["b11"], 3)}
     return out

@@ -13,6 +13,7 @@ from cvnerf_tpu.models.nerf_mlp import (
 )
 from cvnerf_tpu.ops.encoding import freq_encode
 from cvnerf_tpu.ops.pallas.fused_mlp import (
+    _enc_layout,
     _encoding_constants,
     _split_rows,
     fused_nerf_apply,
@@ -26,26 +27,35 @@ def _oracle(params, points, viewdirs, cfg, compute_dtype=jnp.float32):
 
 
 def test_encoding_constants_match_freq_encode():
-    """P @ split(x) recovers the fp32 phases 2^k·x BIT-exactly, and the
-    masked-trig form reproduces freq_encode."""
-    p, m_id, m_sin, m_cos = _encoding_constants(4, 32)
+    """P @ split(x) recovers the fp32 phases 2^k·x BIT-exactly in the
+    [id | sin | cos] block layout, and the block-trig form reproduces
+    freq_encode under the layout's permutation."""
+    L = 4
+    rows, sin_rows, perm = _enc_layout(L)
+    p = _encoding_constants(L)
+    assert p.shape == (rows, 16)
     x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
     x4 = np.concatenate([x, np.zeros((5, 1), np.float32)], -1)
     xs = np.asarray(_split_rows(jnp.asarray(x4.T)), np.float32)   # [16, 5]
     # exact mantissa split: the three slices sum back to x bitwise
     np.testing.assert_array_equal(xs[0:4] + xs[4:8] + xs[8:12], x4.T)
-    s = (np.asarray(p, np.float32) @ xs).T                        # [5, 32]
-    # phases are bit-exact vs direct 2^k·x (both exponent-shift exact)
-    col = 3
-    for k in range(4):
-        for _ in range(2):
-            np.testing.assert_array_equal(s[:, col:col + 3], (2.0 ** k) * x)
-            col += 3
-    enc = (np.asarray(m_id).T * s + np.asarray(m_sin).T * np.sin(s)
-           + np.asarray(m_cos).T * np.cos(s))
-    expected = np.asarray(freq_encode(jnp.asarray(x), 4))
-    np.testing.assert_allclose(enc[:, :27], expected, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(enc[:, 27:], 0.0)
+    s = (np.asarray(p, np.float32) @ xs).T                        # [5, rows]
+    # phases are bit-exact vs direct 2^k·x (both exponent-shift exact):
+    # sin-block row 8+3k+i and cos-block row 8+sin_rows+3k+i hold 2^k·x_i
+    for k in range(L):
+        np.testing.assert_array_equal(
+            s[:, 8 + 3 * k:8 + 3 * k + 3], (2.0 ** k) * x)
+        np.testing.assert_array_equal(
+            s[:, 8 + sin_rows + 3 * k:8 + sin_rows + 3 * k + 3],
+            (2.0 ** k) * x)
+    enc = np.concatenate(
+        [s[:, 0:8], np.sin(s[:, 8:8 + sin_rows]),
+         np.cos(s[:, 8 + sin_rows:])], axis=1)
+    expected = np.asarray(freq_encode(jnp.asarray(x), L))
+    np.testing.assert_allclose(enc[:, perm], expected, rtol=1e-5, atol=1e-6)
+    # pad rows carry only sin(0)=0 / cos(0)=1 / id 0 — inert vs zero weights
+    pad = np.setdiff1d(np.arange(rows), perm)
+    assert set(np.unique(np.round(enc[:, pad], 7))) <= {0.0, 1.0}
 
 
 @pytest.mark.parametrize("cfg", [
