@@ -1,0 +1,162 @@
+"""HTTP serving front end for :class:`cvnerf_tpu.serve.NerfRenderer`.
+
+The reference has no inference/serving story at all (SURVEY.md §2 — its only
+entry point is the training script); this module is the deployment-facing
+network surface: load a checkpoint once, then answer render requests over
+HTTP with cached compiled executables. Stdlib-only (``http.server``) so it
+runs in hermetic environments.
+
+Endpoints:
+    GET  /health            → JSON {status, step, height, width, ...}
+    POST /render            → body JSON {"c2w": [[...3 or 4 rows x 4...]],
+                               "factor": int (optional downscale),
+                               "format": "png" (default) | "json"}
+                              → image/png bytes, or JSON {"rgb": [[[...]]]}
+
+Requests are rendered under a lock: the device executes one render at a
+time (rays inside a request are already the parallel axis — across chips
+when a mesh is present), so concurrency comes from batching rays, not from
+interleaving requests.
+
+Run:
+    python -m cvnerf_tpu.server --ckpt logs/lego/checkpoints \
+        --height 400 --width 400 --focal 555 --near 2 --far 6 --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from cvnerf_tpu.serve import NerfRenderer
+from cvnerf_tpu.utils.image import to_byte
+
+
+def _encode_png(rgb8: np.ndarray) -> bytes:
+    """[H, W, 3] uint8 → PNG bytes (cv2, with a pure-python PPM fallback
+    mirroring utils/image.py's encoder availability story)."""
+    try:
+        import cv2
+        ok, buf = cv2.imencode(".png", rgb8[..., ::-1])  # RGB → BGR
+        if ok:
+            return bytes(buf.tobytes())
+    except ImportError:
+        pass
+    # PPM (P6) fallback — lossless, universally decodable.
+    h, w = rgb8.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb8.tobytes()
+
+
+class NerfRequestHandler(BaseHTTPRequestHandler):
+    """Handler bound to a NerfRenderer via the server instance."""
+
+    server_version = "cvnerf_tpu"
+
+    # Quiet per-request stderr logging (metrics go through the app).
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        if self.path.split("?")[0] != "/health":
+            self._json(404, {"error": f"unknown path {self.path!r}"})
+            return
+        r: NerfRenderer = self.server.renderer
+        self._json(200, {
+            "status": "ok",
+            "step": r.step,
+            "height": r.height,
+            "width": r.width,
+            "focal": r.focal,
+            "near": r.near,
+            "far": r.far,
+            "ndc": r.ndc,
+            "deterministic": bool(r.cfg.deterministic_resample),
+        })
+
+    def do_POST(self):  # noqa: N802
+        if self.path.split("?")[0] != "/render":
+            self._json(404, {"error": f"unknown path {self.path!r}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            c2w = np.asarray(req["c2w"], np.float32)
+            if c2w.shape not in ((3, 4), (4, 4)):
+                raise ValueError(f"c2w must be [3,4] or [4,4], "
+                                 f"got {list(c2w.shape)}")
+            factor = int(req.get("factor", 0))
+            fmt = req.get("format", "png")
+            if fmt not in ("png", "json"):
+                raise ValueError(f"format must be png|json, got {fmt!r}")
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            self._json(400, {"error": repr(e)})
+            return
+
+        with self.server.render_lock:
+            rgb = self.server.renderer.render_pose(c2w, factor=factor)
+
+        if fmt == "json":
+            self._json(200, {"rgb": rgb.tolist(),
+                             "shape": list(rgb.shape)})
+            return
+        png = _encode_png(np.asarray(to_byte(rgb)))
+        self.send_response(200)
+        self.send_header("Content-Type", "image/png")
+        self.send_header("Content-Length", str(len(png)))
+        self.end_headers()
+        self.wfile.write(png)
+
+
+def make_server(renderer: NerfRenderer, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server around a loaded renderer."""
+    srv = ThreadingHTTPServer((host, port), NerfRequestHandler)
+    srv.renderer = renderer
+    srv.render_lock = threading.Lock()
+    return srv
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Serve a trained cvnerf_tpu checkpoint over HTTP")
+    p.add_argument("--ckpt", required=True, help="checkpoint directory")
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--focal", type=float, required=True)
+    p.add_argument("--near", type=float, required=True)
+    p.add_argument("--far", type=float, required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--chunk", type=int, default=8192)
+    p.add_argument("--stochastic", action="store_true",
+                   help="reference-style stochastic eval resampling")
+    args = p.parse_args(argv)
+
+    renderer = NerfRenderer(args.ckpt, height=args.height, width=args.width,
+                            focal=args.focal, near=args.near, far=args.far,
+                            chunk=args.chunk,
+                            deterministic=not args.stochastic)
+    srv = make_server(renderer, args.host, args.port)
+    print(f"serving checkpoint step {renderer.step} on "
+          f"http://{args.host}:{srv.server_address[1]}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

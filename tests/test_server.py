@@ -1,0 +1,109 @@
+"""Tests for the HTTP serving front end (live localhost server)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+from cvnerf_tpu.render.renderer import RenderConfig
+from cvnerf_tpu.serve import NerfRenderer
+from cvnerf_tpu.server import make_server
+from cvnerf_tpu.train.checkpoint import save_checkpoint
+from cvnerf_tpu.train.state import TrainState, create_train_state
+
+TINY = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32, head_width=16)
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("server") / "ckpt")
+    state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
+    params = state.params
+    for net in ("coarse", "fine"):
+        params[net]["alpha"]["b"] = params[net]["alpha"]["b"] + 1.0
+    save_checkpoint(d, TrainState(params=params, opt_state=state.opt_state,
+                                  step=state.step + 7))
+    r = NerfRenderer(d, height=12, width=16, focal=14.0, near=2.0, far=6.0,
+                     cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
+                     chunk=128, use_mesh=False)
+    srv = make_server(r, "127.0.0.1", 0)  # 0 → ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=60)
+
+
+POSE = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]]
+
+
+def test_health(server_url):
+    with urllib.request.urlopen(server_url + "/health", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["step"] == 7
+    assert (body["height"], body["width"]) == (12, 16)
+    assert body["deterministic"] is True
+
+
+def test_render_png(server_url):
+    with _post(server_url + "/render", {"c2w": POSE}) as resp:
+        assert resp.headers["Content-Type"] == "image/png"
+        data = resp.read()
+    # PNG magic, or the P6 PPM fallback when cv2 is absent.
+    assert data[:4] in (b"\x89PNG", b"P6\n1"), data[:8]
+
+
+def test_render_json_deterministic(server_url):
+    out = []
+    for _ in range(2):
+        with _post(server_url + "/render",
+                   {"c2w": POSE, "format": "json"}) as resp:
+            out.append(json.loads(resp.read()))
+    assert out[0]["shape"] == [12, 16, 3]
+    rgb = np.asarray(out[0]["rgb"], np.float32)
+    assert np.isfinite(rgb).all() and rgb.std() > 1e-4
+    # Deterministic serving: identical responses for identical poses.
+    assert out[0] == out[1]
+
+
+def test_render_factor(server_url):
+    with _post(server_url + "/render",
+               {"c2w": POSE, "factor": 2, "format": "json"}) as resp:
+        assert json.loads(resp.read())["shape"] == [6, 8, 3]
+
+
+def test_render_4x4_pose_accepted(server_url):
+    pose4 = POSE + [[0, 0, 0, 1.0]]
+    with _post(server_url + "/render",
+               {"c2w": pose4, "format": "json"}) as resp:
+        assert resp.status == 200
+
+
+@pytest.mark.parametrize("payload,msg", [
+    ({}, "c2w"),
+    ({"c2w": [[1, 2], [3, 4]]}, "3,4"),
+    ({"c2w": POSE, "format": "bmp"}, "png|json"),
+])
+def test_bad_requests_are_400(server_url, payload, msg):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server_url + "/render", payload)
+    assert ei.value.code == 400
+    assert msg in json.loads(ei.value.read())["error"].replace("'", "")
+
+
+def test_unknown_path_is_404(server_url):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server_url + "/nope", timeout=30)
+    assert ei.value.code == 404
