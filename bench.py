@@ -96,49 +96,80 @@ def bench(train_steps: int = 200, warmup: int = 20,
     tr = Trainer(cfg, state, images, poses, [0, 1], seed=0, mesh=mesh,
                  steps_per_call=10)
 
-    # --- train throughput ---
+    # --- train throughput (pallas on, and the pallas-off XLA ablation) ---
     # Sync via host transfer: block_until_ready does not reliably block on
     # the tunneled TPU platform.
-    def sync():
-        np.asarray(jax.tree.leaves(tr.state.params)[0])
+    def sync(t=tr):
+        np.asarray(jax.tree.leaves(t.state.params)[0])
 
-    # Median of 3 measurement windows: the tunneled-TPU runtime shows ~±10%
-    # process-level jitter (host dispatch through the tunnel), and a single
-    # window inherits it all; the median window is stable to ~±1%.
-    tr.run(1, warmup + 1)                      # compile + warm up
-    sync()
-    windows = []
-    base = warmup + 1
+    def median(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    # The tunneled-TPU runtime shows ~±10% process-level jitter (host
+    # dispatch through the tunnel). Two mitigations, per the repo's
+    # benchmarking rule: median of 3 measurement windows per variant, and
+    # the on/off ablation variants INTERLEAVED window-by-window in one
+    # process (compile everything first, then alternate), so the speedup
+    # ratio compares windows from the same jitter regime (~±1%).
+    trainers = {"on": tr}
+    if not smoke:
+        # Ablation: same workload with the fused Pallas kernel disabled
+        # (pure-XLA jnp path), so the kernel's contribution is a *measured*
+        # number rather than a docstring claim (VERDICT r1 item 2).
+        import dataclasses
+        rcfg_off = dataclasses.replace(rcfg, pallas="off")
+        cfg_off = dataclasses.replace(cfg, render=rcfg_off)
+        state_off = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                                       lr_decay=cfg.lr_decay)
+        trainers["off"] = Trainer(cfg_off, state_off, images, poses, [0, 1],
+                                  seed=0, mesh=mesh, steps_per_call=10)
+
+    steps_for = {"on": train_steps, "off": max(train_steps // 2, 10)}
+    cursors = {}
+    for name, t in trainers.items():           # compile + warm up ALL first
+        t.run(1, warmup + 1)
+        sync(t)
+        cursors[name] = warmup + 1
+    train_times = {name: [] for name in trainers}
+    final = None
     for _ in range(1 if smoke else 3):
-        t0 = time.perf_counter()
-        final = tr.run(base, base + train_steps)
-        sync()
-        windows.append(time.perf_counter() - t0)
-        base += train_steps
-    train_dt = sorted(windows)[len(windows) // 2]
+        for name, t in trainers.items():       # alternate on/off windows
+            s = steps_for[name]
+            t0 = time.perf_counter()
+            out = t.run(cursors[name], cursors[name] + s)
+            sync(t)
+            train_times[name].append(time.perf_counter() - t0)
+            cursors[name] += s
+            if name == "on":
+                final = out
+    train_dt = median(train_times["on"])
     train_rays_sec = train_steps * cfg.n_rays / train_dt
 
-    # --- render throughput (eval path) ---
+    # --- render throughput (eval path), same interleaving ---
     rcfg_test = rcfg.eval_mode()
     c2w = jnp.asarray(poses[0])
 
-    def do_render():
+    def do_render(variant_cfg):
         out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
-                           focal, c2w, 2.0, 6.0, rcfg_test,
+                           focal, c2w, 2.0, 6.0, variant_cfg,
                            chunk=min(4096, H * W),
                            mesh=mesh if n_chips > 1 else None)
         np.asarray(out["rgb"])
         return out
 
-    do_render()  # compile
+    render_cfgs = {"on": rcfg_test}
+    if not smoke:
+        render_cfgs["off"] = rcfg_off.eval_mode()
+    for c in render_cfgs.values():             # compile ALL first
+        do_render(c)
     n_render = 4
-    frame_times = []
+    frame_times = {name: [] for name in render_cfgs}
     for _ in range(n_render):
-        t0 = time.perf_counter()
-        do_render()
-        frame_times.append(time.perf_counter() - t0)
-    # Median frame (same jitter rationale as the train windows).
-    render_dt = sorted(frame_times)[len(frame_times) // 2]
+        for name, c in render_cfgs.items():    # alternate on/off frames
+            t0 = time.perf_counter()
+            do_render(c)
+            frame_times[name].append(time.perf_counter() - t0)
+    render_dt = median(frame_times["on"])
     render_rays_sec = H * W / render_dt
 
     result = {
@@ -148,7 +179,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
         "vs_baseline": 0.0,
         "render_rays_per_sec_per_chip": round(render_rays_sec / n_chips, 1),
         "train_step_ms": round(1000 * train_dt / train_steps, 2),
-        "frame_400x400_ms": round(1000 * render_dt, 1),
+        f"frame_{H}x{W}_ms": round(1000 * render_dt, 1),
         "n_chips": n_chips,
         "final_loss": round(float(final["loss"]), 5),
         "baseline_rays_per_sec_estimated": REFERENCE_GPU_RAYS_PER_SEC,
@@ -159,6 +190,15 @@ def bench(train_steps: int = 200, warmup: int = 20,
     result["vs_baseline"] = round(value / REFERENCE_GPU_RAYS_PER_SEC, 2)
 
     if not smoke:
+        off_train = steps_for["off"] * cfg.n_rays / median(train_times["off"])
+        result["train_rays_per_sec_pallas_off"] = round(off_train / n_chips, 1)
+        result["pallas_train_speedup"] = round(train_rays_sec / off_train, 2)
+        off_render = H * W / median(frame_times["off"])
+        result["render_rays_per_sec_pallas_off"] = round(
+            off_render / n_chips, 1)
+        result["pallas_render_speedup"] = round(render_rays_sec / off_render,
+                                                2)
+
         # Secondary: the reference's *default* batch (n_rays=4096,
         # main.py:422).
         cfg4 = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
@@ -168,49 +208,12 @@ def bench(train_steps: int = 200, warmup: int = 20,
         tr4 = Trainer(cfg4, state4, images, poses, [0, 1], seed=0, mesh=mesh,
                       steps_per_call=10)
         tr4.run(1, 11)
-        np.asarray(jax.tree.leaves(tr4.state.params)[0])
+        sync(tr4)
         t0 = time.perf_counter()
         tr4.run(11, 61)
-        np.asarray(jax.tree.leaves(tr4.state.params)[0])
+        sync(tr4)
         result["train_rays_per_sec_at_4096"] = round(
             50 * 4096 / (time.perf_counter() - t0) / n_chips, 1)
-
-        # Ablation: same workload with the fused Pallas kernel disabled
-        # (pure-XLA jnp path), so the kernel's contribution is a *measured*
-        # number rather than a docstring claim (VERDICT r1 item 2).
-        import dataclasses
-        rcfg_off = dataclasses.replace(rcfg, pallas="off")
-        cfg_off = dataclasses.replace(cfg, render=rcfg_off)
-        state_off = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
-                                       lr_decay=cfg.lr_decay)
-        tro = Trainer(cfg_off, state_off, images, poses, [0, 1], seed=0,
-                      mesh=mesh, steps_per_call=10)
-        ab_steps = 100
-        tro.run(1, warmup + 1)
-        np.asarray(jax.tree.leaves(tro.state.params)[0])
-        t0 = time.perf_counter()
-        tro.run(warmup + 1, warmup + ab_steps + 1)
-        np.asarray(jax.tree.leaves(tro.state.params)[0])
-        off_train = ab_steps * cfg.n_rays / (time.perf_counter() - t0)
-        result["train_rays_per_sec_pallas_off"] = round(off_train / n_chips, 1)
-        result["pallas_train_speedup"] = round(train_rays_sec / off_train, 2)
-
-        def do_render_off():
-            out = render_image(jax.random.PRNGKey(1), tr.state.params, H, W,
-                               focal, c2w, 2.0, 6.0, rcfg_off.eval_mode(),
-                               chunk=4096,
-                               mesh=mesh if n_chips > 1 else None)
-            np.asarray(out["rgb"])
-
-        do_render_off()  # compile
-        t0 = time.perf_counter()
-        for _ in range(n_render):
-            do_render_off()
-        off_render = n_render * H * W / (time.perf_counter() - t0)
-        result["render_rays_per_sec_pallas_off"] = round(
-            off_render / n_chips, 1)
-        result["pallas_render_speedup"] = round(render_rays_sec / off_render,
-                                                2)
     return result
 
 

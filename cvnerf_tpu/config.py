@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deterministic_resample", action=argparse.BooleanOptionalAction, default=False,
                    help="evenly-spaced (non-stochastic) inverse-CDF "
                         "uniforms at eval time")
+    p.add_argument("--sorted_resample", action=argparse.BooleanOptionalAction, default=True,
+                   help="draw inverse-CDF uniforms pre-sorted per ray "
+                        "(order-statistics construction; merge instead of "
+                        "192-wide sort). --no-sorted_resample restores the "
+                        "reference-shaped iid-draws-then-sort stream "
+                        "(reference main.py:251)")
     p.add_argument("--debug_nans", action=argparse.BooleanOptionalAction, default=False,
                    help="enable jax_debug_nans")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -143,7 +149,7 @@ def build_parser() -> argparse.ArgumentParser:
 # broke the "CLI overrides config file" contract).
 _BOOL_FLAGS = {"no_reload", "render_only", "render_test", "white_bkg",
                "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
-               "deterministic_resample"}
+               "deterministic_resample", "sorted_resample"}
 
 
 def _config_file_to_argv(path: str) -> list[str]:

@@ -108,7 +108,12 @@ def ray_sorted_uniform(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
     e = -jnp.log1p(-u)
     s = jnp.cumsum(e, axis=-1)
     total = jnp.maximum(s[..., -1:], jnp.float32(1e-37))
-    return s[..., :n] / total
+    # If the (n+1)-th spacing draws exactly 0 (prob 2^-23 per ray), the last
+    # ratio would be exactly 1.0; clamp one ulp inside so the documented
+    # [0, 1) contract holds for every consumer.
+    return jnp.minimum(s[..., :n] / total,
+                       np.nextafter(np.float32(1.0), np.float32(0.0),
+                                    dtype=np.float32))
 
 
 def ray_normal(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
@@ -138,9 +143,12 @@ def sample_without_replacement(key: jax.Array, n: int, m: int) -> jnp.ndarray:
     sampling purposes; distinctness is structural (it is a bijection).
 
     The cycle walk re-encrypts out-of-range values; each pass escapes with
-    probability ``m / 2^bits ≥ 1/2``, so 40 fixed passes leave a miss
-    probability < 2^-40 per element (misses would yield a duplicate, never
-    an out-of-range index — the final ``where`` guard clamps into range).
+    probability ``p = m / 2^bits`` (``p > 1/4`` always — the even-bit
+    rounding can put the domain up to 4× above ``m``). The pass count is
+    chosen *statically from p* so the per-element miss probability is
+    < 2^-40 regardless of where ``m`` falls (misses would yield a
+    duplicate, never an out-of-range index — the final ``where`` guard
+    clamps into range).
     """
     if n > m:
         raise ValueError(f"cannot draw {n} distinct values from [0, {m})")
@@ -169,8 +177,11 @@ def sample_without_replacement(key: jax.Array, n: int, m: int) -> jnp.ndarray:
     y = encrypt(jnp.arange(n, dtype=jnp.uint32))
     # Cycle walk as a fori_loop (fixed trip count → one compiled body; an
     # unrolled walk costs ~25 s of compile time for no runtime benefit).
+    # Trip count from the actual escape probability: (1-p)^passes < 2^-40.
+    p = m / float(1 << total_bits)
+    passes = int(np.ceil(-40.0 * np.log(2.0) / np.log1p(-p)))
     y = jax.lax.fori_loop(
-        0, 40,
+        0, passes,
         lambda _, v: jnp.where(v < np.uint32(m), v, encrypt(v)), y)
     y = jnp.where(y < np.uint32(m), y, jnp.arange(n, dtype=jnp.uint32))
     return y.astype(jnp.int32)

@@ -37,19 +37,25 @@ from cvnerf_tpu.serve import NerfRenderer
 from cvnerf_tpu.utils.image import to_byte
 
 
-def _encode_png(rgb8: np.ndarray) -> bytes:
-    """[H, W, 3] uint8 → PNG bytes (cv2, with a pure-python PPM fallback
-    mirroring utils/image.py's encoder availability story)."""
+def _encode_image(rgb8: np.ndarray) -> tuple[bytes, str]:
+    """[H, W, 3] uint8 → (bytes, content_type): PNG via cv2, with a
+    pure-python PPM fallback (mirroring utils/image.py's encoder
+    availability story). The fallback is labeled with its real media type
+    so clients never receive PPM bytes under an image/png header."""
     try:
         import cv2
         ok, buf = cv2.imencode(".png", rgb8[..., ::-1])  # RGB → BGR
         if ok:
-            return bytes(buf.tobytes())
+            return bytes(buf.tobytes()), "image/png"
+        print("[WARN] cv2.imencode returned not-ok; serving PPM fallback")
     except ImportError:
         pass
+    except Exception as e:  # cv2.error etc. — degrade, don't drop the request
+        print(f"[WARN] PNG encode failed ({e!r}); serving PPM fallback")
     # PPM (P6) fallback — lossless, universally decodable.
     h, w = rgb8.shape[:2]
-    return b"P6\n%d %d\n255\n" % (w, h) + rgb8.tobytes()
+    body = b"P6\n%d %d\n255\n" % (w, h) + rgb8.tobytes()
+    return body, "image/x-portable-pixmap"
 
 
 class NerfRequestHandler(BaseHTTPRequestHandler):
@@ -112,12 +118,12 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             self._json(200, {"rgb": rgb.tolist(),
                              "shape": list(rgb.shape)})
             return
-        png = _encode_png(np.asarray(to_byte(rgb)))
+        body, ctype = _encode_image(np.asarray(to_byte(rgb)))
         self.send_response(200)
-        self.send_header("Content-Type", "image/png")
-        self.send_header("Content-Length", str(len(png)))
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
         self.end_headers()
-        self.wfile.write(png)
+        self.wfile.write(body)
 
 
 def make_server(renderer: NerfRenderer, host: str = "127.0.0.1",

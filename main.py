@@ -1,260 +1,9 @@
 #!/usr/bin/env python
-"""cvnerf_tpu experiment driver: config-driven NeRF training and rendering.
+"""Reference-shaped entry point: ``python main.py --config configs/<scene>.txt``
+(reference main.py:460-462). The driver itself lives in
+``cvnerf_tpu/cli.py`` (installed as the ``cvnerf-train`` console script)."""
 
-Entry-point parity with the reference (``python main.py --config
-configs/<scene>.txt``, reference main.py:280-462), rebuilt TPU-native: the
-whole per-step pipeline is one jitted program, spiral videos render
-pipelined, checkpoints/metrics/validation are first-class (the reference has
-none of the three — SURVEY.md §4, §5).
-"""
-
-from __future__ import annotations
-
-import os
-import sys
-
-import numpy as np
-
-
-def main(argv=None):
-    # Parse before importing jax so --debug_nans can set flags pre-init.
-    from cvnerf_tpu.config import parse_args, snapshot_config
-    args = parse_args(argv)
-
-    import jax
-    # Multi-host (opt-in): must run before any other JAX API so the
-    # coordination service wires DCN across hosts (SURVEY.md §2.4).
-    from cvnerf_tpu.parallel.mesh import initialize_distributed
-    if initialize_distributed(args.coordinator, args.num_processes,
-                              args.process_id):
-        print(f"Distributed: process {jax.process_index()} of "
-              f"{jax.process_count()}")
-    if args.debug_nans:
-        jax.config.update("jax_debug_nans", True)
-    # Persistent XLA compile cache: full-frame render programs take minutes
-    # to compile cold on TPU; cached they load in seconds.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-    from cvnerf_tpu.data import load_scene
-    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
-    from cvnerf_tpu.parallel.mesh import make_mesh
-    from cvnerf_tpu.render.frames import render_poses_to_frames
-    from cvnerf_tpu.render.renderer import RenderConfig
-    from cvnerf_tpu.train.checkpoint import (
-        Checkpointer,
-        latest_step,
-        restore_checkpoint,
-    )
-    from cvnerf_tpu.train.loop import TrainConfig, Trainer
-    from cvnerf_tpu.train.state import create_train_state
-    from cvnerf_tpu.utils.image import psnr_images, write_png, write_video
-    from cvnerf_tpu.utils.metrics import MetricsLogger
-
-    # --- data ---
-    scene = load_scene(
-        args.data_dir, args.dtype, half_res=args.half_res,
-        testskip=args.testskip, white_bkg=args.white_bkg,
-        factor=args.factor, no_ndc=args.no_ndc, llffhold=args.llffhold,
-        spherify=args.spherify)
-    print(f"Loaded {args.dtype} scene: {scene.images.shape[0]} images "
-          f"{scene.height}x{scene.width} focal={scene.focal:.2f} "
-          f"near={scene.near:.3f} far={scene.far:.3f} ndc={scene.ndc}")
-
-    render_poses = scene.render_poses
-    if args.render_test:
-        render_poses = scene.poses[scene.test_idx]
-
-    # --- run dirs & config snapshot ---
-    run_dir = os.path.join(args.base_dir, args.name)
-    save_dir = os.path.join(args.save_dir, args.name)
-    os.makedirs(run_dir, exist_ok=True)
-    os.makedirs(save_dir, exist_ok=True)
-    snapshot_config(args, run_dir)
-    ckpt_dir = os.path.join(run_dir, "checkpoints")
-
-    # --- model / state ---
-    mlp = NerfMLPConfig(xyz_freqs=args.xyz_freqs, dir_freqs=args.dir_freqs,
-                        trunk_width=args.trunk_width,
-                        head_width=args.head_width)
-    rcfg_train = RenderConfig(
-        n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
-        perturb=args.perturb > 0, noise_std=args.noise,
-        white_bkg=args.white_bkg, mlp=mlp,
-        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        pallas=args.pallas)
-    rcfg_test = rcfg_train.eval_mode()
-    if args.deterministic_resample:
-        import dataclasses
-        rcfg_test = dataclasses.replace(rcfg_test,
-                                        deterministic_resample=True)
-
-    state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
-                               lr_decay=args.lr_decay, mlp=mlp)
-    start = 0
-    if args.ft_path:
-        restored = restore_checkpoint(args.ft_path, state)
-        if restored is None:
-            sys.exit(f"--ft_path {args.ft_path}: no checkpoint found")
-        state, start = restored, int(restored.step)
-        print(f"Restored fine-tune checkpoint at step {start}")
-    elif not args.no_reload:
-        restored = restore_checkpoint(ckpt_dir, state)
-        if restored is not None:
-            state, start = restored, int(restored.step)
-            print(f"Resumed from checkpoint at step {start}")
-    elif os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        # --no_reload restarts from scratch; move the old run's checkpoints
-        # aside so the fresh run's (lower-step) saves aren't shadowed by
-        # stale higher-step ones at resume time.
-        backup = f"{ckpt_dir}.bak-{latest_step(ckpt_dir)}"
-        os.rename(ckpt_dir, backup)
-        print(f"--no_reload: moved existing checkpoints to {backup}")
-
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
-    print(f"Device mesh: {n_dev} x {mesh.devices.flat[0].platform}")
-
-    render_chunk = args.chunk
-
-    def spiral_video(step: int, params) -> None:
-        frame_dir = os.path.join(save_dir, f"spiral_{step:06d}")
-
-        def on_frame(i, rgb):
-            write_png(os.path.join(frame_dir, f"{i:03d}.png"), rgb)
-
-        frames = render_poses_to_frames(
-            jax.random.PRNGKey(args.seed + 1), params, render_poses,
-            scene.height, scene.width, scene.focal, scene.near, scene.far,
-            rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
-            chunk=render_chunk, factor=args.render_factor,
-            on_frame=on_frame, mesh=mesh if n_dev > 1 else None)
-        out = write_video(
-            os.path.join(save_dir, f"{args.name}_spiral_{step:06d}_rgb.mp4"),
-            frames, fps=30)
-        print(f"Wrote video: {out} ({frames.shape[0]} frames)")
-        return frames
-
-    def val_psnr(params):
-        from cvnerf_tpu.render.frames import render_image
-        i = int(scene.val_idx[0]) if len(scene.val_idx) else 0
-        out = render_image(
-            jax.random.PRNGKey(123), params, scene.height, scene.width,
-            scene.focal, jnp.asarray(scene.poses[i]), scene.near, scene.far,
-            rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
-            chunk=render_chunk, mesh=mesh if n_dev > 1 else None)
-        rgb = np.asarray(out["rgb"])
-        return psnr_images(rgb, scene.images[i]), rgb
-
-    # --- render-only mode (the reference parses this flag but ignores it,
-    # main.py:436; honored here) ---
-    if args.render_only:
-        params = state.params
-        if n_dev > 1:
-            from cvnerf_tpu.parallel.mesh import replicated_sharding
-            params = jax.device_put(params, replicated_sharding(mesh))
-        spiral_video(start, params)
-        return
-
-    # --- training ---
-    tcfg = TrainConfig(
-        height=scene.height, width=scene.width, focal=scene.focal,
-        near=scene.near, far=scene.far, n_rays=args.n_rays, lr=args.lr,
-        lr_decay=args.lr_decay, precrop_iters=args.precrop_iters,
-        precrop_frac=args.precrop_frac, ndc=scene.ndc,
-        ndc_variant=args.ndc_variant, pixel_sampling=args.pixel_sampling,
-        render=rcfg_train)
-    trainer = Trainer(tcfg, state, scene.images, scene.poses,
-                      scene.train_idx, seed=args.seed, mesh=mesh,
-                      steps_per_call=args.steps_per_call)
-    logger = MetricsLogger(run_dir)
-
-    from cvnerf_tpu.train.state import make_lr_schedule
-    lr_sched = make_lr_schedule(args.lr, args.lr_decay)
-
-    def log_cb(i, tr, m):
-        logger.log(i, loss=m["loss"], psnr=m["psnr"],
-                   rays_per_sec=m["rays_per_sec"],
-                   lr=float(lr_sched(i)))
-
-    # One persistent manager for the whole run; saves are asynchronous so
-    # checkpoint I/O overlaps the following train steps.
-    ckpt_writer = Checkpointer(ckpt_dir)
-
-    def ckpt_cb(i, tr, m):
-        ckpt_writer.save(tr.state)
-        print(f"Checkpoint save enqueued at step {i}")
-
-    def _non_fatal(fn):
-        # Eval/render failures must not kill training (SURVEY.md §5 —
-        # the reference would lose the whole uncheckpointed run).
-        def wrapped(i, tr, m):
-            try:
-                fn(i, tr, m)
-            except Exception as e:  # noqa: BLE001
-                print(f"[WARN] callback {fn.__name__} failed at step {i}: "
-                      f"{e!r}", flush=True)
-        return wrapped
-
-    @_non_fatal
-    def vid_cb(i, tr, m):
-        frames = spiral_video(i, tr.state.params)
-        logger.log_image(i, "spiral_frame0", frames[0])
-
-    @_non_fatal
-    def val_cb(i, tr, m):
-        v, rgb = val_psnr(tr.state.params)
-        logger.log(i, val_psnr=v)
-        logger.log_image(i, "val_render", rgb)
-
-    trainer.add_callback(args.print_freq, log_cb)
-    if args.ckpt_freq > 0:
-        trainer.add_callback(args.ckpt_freq, ckpt_cb)
-    if args.vid_freq > 0:
-        trainer.add_callback(args.vid_freq, vid_cb)
-    if args.val_freq > 0:
-        trainer.add_callback(args.val_freq, val_cb)
-
-    if args.profile_dir:
-        # Bounded profiling window: compile + warm up, then trace 20 steps.
-        warm = min(start + 10, args.iters - 1)
-        trainer.run(start + 1, warm + 1)
-        jax.profiler.start_trace(args.profile_dir)
-        trainer.run(warm + 1, min(warm + 21, args.iters))
-        jax.profiler.stop_trace()
-        print(f"Profiler trace written to {args.profile_dir}")
-        final = trainer.run(min(warm + 21, args.iters), args.iters)
-    else:
-        final = trainer.run(start + 1, args.iters)
-
-    ckpt_writer.save(trainer.state, wait=True)   # final save is durable
-    ckpt_writer.close()
-    logger.log(int(trainer.state.step), **final)
-
-    # Final held-out evaluation (the reference computes no quantitative
-    # eval at all — SURVEY.md §4; this is the PSNR-parity evidence).
-    if len(scene.test_idx):
-        from cvnerf_tpu.render.frames import render_image as _ri
-        psnrs = []
-        for i in np.asarray(scene.test_idx)[:8]:
-            out = _ri(jax.random.PRNGKey(7), trainer.state.params,
-                      scene.height, scene.width, scene.focal,
-                      jnp.asarray(scene.poses[int(i)]), scene.near,
-                      scene.far, rcfg_test, ndc=scene.ndc,
-                      ndc_variant=args.ndc_variant, chunk=render_chunk,
-                      mesh=mesh if n_dev > 1 else None)
-            psnrs.append(psnr_images(np.asarray(out["rgb"]),
-                                     scene.images[int(i)]))
-        logger.log(int(trainer.state.step),
-                   test_psnr=float(np.mean(psnrs)),
-                   test_views=len(psnrs))
-    logger.close()
-    print("Training complete:", final)
-
+from cvnerf_tpu.cli import main
 
 if __name__ == "__main__":
     main()

@@ -63,6 +63,14 @@ def test_repo_configs_parse():
         assert args.n_fine_samples == 128
 
 
+def test_sorted_resample_flag():
+    """The sorted-resample deviation is CLI-gated (CLAUDE.md: deviations
+    behind flags): default on, --no-sorted_resample restores the
+    reference-shaped iid-draws-then-sort stream."""
+    assert parse_args([]).sorted_resample is True
+    assert parse_args(["--no-sorted_resample"]).sorted_resample is False
+
+
 def test_bad_config_line(tmp_path):
     cfg = tmp_path / "bad.txt"
     cfg.write_text("this is not a kv line\n")

@@ -124,6 +124,29 @@ def test_sample_without_replacement_distinct_and_uniform():
     chi2 = ((counts - 50.0) ** 2 / 50.0).sum()
     assert chi2 < 50.0, counts  # 15 dof; 50 is ~p<1e-5
 
+def test_sample_without_replacement_distinct_at_odd_bit_domains():
+    """m just above an odd power of two puts the Feistel domain at ~4x m
+    (escape probability ~1/4 per cycle-walk pass); the pass count must be
+    scaled so misses (which fall back to arange and can duplicate) stay
+    < 2^-40. With the old fixed 40 passes this had a ~1e-5 per-element miss
+    rate — ~5 expected duplicates across this loop."""
+    import functools
+    from cvnerf_tpu.ops.rng import sample_without_replacement as swr
+    m = 520 * 520  # bit_length(m-1) = 19 → 20-bit domain, p ≈ 0.258
+    f = jax.jit(functools.partial(swr, n=1024, m=m))
+    for k in range(500):
+        p = np.asarray(f(jax.random.PRNGKey(k)))
+        assert len(set(p.tolist())) == 1024, k
+        assert p.min() >= 0 and p.max() < m
+
+
+def test_sorted_uniform_strictly_below_one():
+    from cvnerf_tpu.ops.rng import ray_sorted_uniform
+    u = np.asarray(ray_sorted_uniform(jax.random.PRNGKey(0), 2,
+                                      jnp.arange(4096, dtype=jnp.int32), 129))
+    assert u.max() < 1.0 and u.min() >= 0.0
+
+
 def test_sample_without_replacement_rejects_oversample():
     from cvnerf_tpu.ops.rng import sample_without_replacement as swr
     with pytest.raises(ValueError):
