@@ -1,20 +1,27 @@
 #!/usr/bin/env python
-"""Pinned-quality regression run: train the canonical procedural scene and
+"""Pinned-quality regression run: train a canonical procedural scene and
 check the final held-out test PSNR against the band in
 ``results/psnr_bands.json``.
 
 The reference bundles no lego/fern images, so quality evidence uses the
 seeded, analytically-rendered multi-view-consistent fixtures
-(``tests/fixtures.py``) in the exact Blender on-disk format. The canonical
-regression scene is the CHECKER-textured sphere — hard high-frequency
-content that collapses if encodings/sampling/compositing regress — at the
-reference's training shape (1024 rays, 64+128 samples, bf16 + fused Pallas).
+(``tests/fixtures.py``) in the exact Blender/LLFF on-disk formats. Two
+canonical regression scenes:
+
+* ``checker`` (default) — a CHECKER-textured sphere in Blender format: hard
+  high-frequency content that collapses if encodings/sampling/compositing
+  regress, at the reference's training shape (1024 rays, 64+128 samples,
+  bf16 + fused Pallas).
+* ``llff_plane`` — a sinusoid-textured forward-facing plane in LLFF format:
+  exercises the *other* data path end-to-end (poses_bounds.npy ingest, pose
+  recentering/rescale, NDC warp) at the fern config's training shape.
 
 Usage:
-    python scripts/quality_run.py                 # 50k steps (pinned band)
-    python scripts/quality_run.py --iters 3000    # quick band
-    python scripts/quality_run.py --pin           # (re)write the band as
-                                                  # [psnr - 1.0, inf)
+    python scripts/quality_run.py                     # checker, 50k (band)
+    python scripts/quality_run.py --iters 3000        # quick band
+    python scripts/quality_run.py --scene llff_plane --iters 3000
+    python scripts/quality_run.py --pin               # (re)write the band as
+                                                      # [psnr - 1.0, inf)
 
 Exits nonzero if the measured PSNR falls below the pinned band — the
 round-over-round judge-visible regression signal (VERDICT r1 item 9).
@@ -36,32 +43,59 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 BANDS = os.path.join(REPO, "results", "psnr_bands.json")
 
 
+def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
+    """Build the dataset; return (data_dir, extra CLI flags, band info)."""
+    from fixtures import make_blender_dataset, make_llff_dataset
+
+    if scene == "checker":
+        data_dir = os.path.join(workdir, "checker")
+        make_blender_dataset(data_dir, n_train=10, n_val=2, n_test=4,
+                             h=100, w=100, texture="checker")
+        flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
+                 "--precrop_iters", "500", "--precrop_frac", "0.5"]
+        info = {"scene": "checker-textured sphere, 10 train views, 100x100, "
+                         "seeded fixture (tests/fixtures.py)",
+                "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
+                          "500/0.5, lr 5e-4/decay 500, seed 0"}
+    elif scene == "llff_plane":
+        data_dir = os.path.join(workdir, "plane")
+        make_llff_dataset(data_dir, n=12, h=96, w=128, focal=120.0)
+        # The fern config's shape (configs/fern.txt): LLFF ingest, NDC on,
+        # density noise 1.0, every-8th holdout.
+        flags = ["--dtype", "llff", "--factor", "1", "--llffhold", "8",
+                 "--noise", "1.0"]
+        info = {"scene": "sinusoid-textured forward-facing plane, 12 views, "
+                         "96x128 LLFF/NDC, seeded fixture (tests/fixtures.py)",
+                "config": "1024 rays, 64+128 samples, bf16+Pallas, NDC, "
+                          "noise 1.0, lr 5e-4/decay 500, seed 0"}
+    else:
+        raise SystemExit(f"unknown scene {scene!r}")
+    return data_dir, flags, info
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50000)
+    ap.add_argument("--scene", default="checker",
+                    choices=["checker", "llff_plane"])
     ap.add_argument("--pin", action="store_true",
                     help="write measured-1.0 dB as the new lower band")
     ap.add_argument("--keep_artifacts", action="store_true",
                     help="copy the metrics stream into results/")
     args = ap.parse_args()
 
-    from fixtures import make_blender_dataset
-
     workdir = tempfile.mkdtemp(prefix="quality_run_")
-    data_dir = os.path.join(workdir, "checker")
-    make_blender_dataset(data_dir, n_train=10, n_val=2, n_test=4,
-                         h=100, w=100, texture="checker")
+    data_dir, scene_flags, info = _make_scene(args.scene, workdir)
 
     import main as cli
-    run_name = f"checker{args.iters}"
+    run_name = f"{args.scene}{args.iters}"
     cli.main([
-        "--data_dir", data_dir, "--dtype", "blender", "--name", run_name,
+        "--data_dir", data_dir, "--name", run_name,
         "--base_dir", os.path.join(workdir, "logs"),
         "--save_dir", os.path.join(workdir, "logs"),
         "--n_rays", "1024", "--n_coarse_samples", "64",
         "--n_fine_samples", "128", "--lr", "5e-4", "--lr_decay", "500",
-        "--precrop_iters", "500", "--precrop_frac", "0.5",
-        "--white_bkg", "--bf16", "--testskip", "1",
+        "--bf16", *scene_flags,
         "--iters", str(args.iters),
         "--vid_freq", "0", "--ckpt_freq", "0",
         "--val_freq", str(max(args.iters // 10, 1)),
@@ -73,17 +107,15 @@ def main():
     test = [r["test_psnr"] for r in records if "test_psnr" in r]
     assert test, "no test_psnr in metrics stream"
     psnr = float(test[-1])
-    key = f"checker_sphere_{args.iters}"
+    key = ("checker_sphere" if args.scene == "checker"
+           else args.scene) + f"_{args.iters}"
 
     bands = json.load(open(BANDS)) if os.path.exists(BANDS) else {}
     if args.pin:
         bands[key] = {
             "min_test_psnr_db": round(psnr - 1.0, 2),
             "measured_db": round(psnr, 2),
-            "scene": "checker-textured sphere, 10 train views, 100x100, "
-                     "seeded fixture (tests/fixtures.py)",
-            "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
-                      "500/0.5, lr 5e-4/decay 500, seed 0",
+            **info,
         }
         os.makedirs(os.path.dirname(BANDS), exist_ok=True)
         json.dump(bands, open(BANDS, "w"), indent=2, sort_keys=True)
