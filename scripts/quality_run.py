@@ -81,7 +81,11 @@ def main():
     ap.add_argument("--pin", action="store_true",
                     help="write measured-1.0 dB as the new lower band")
     ap.add_argument("--keep_artifacts", action="store_true",
-                    help="copy the metrics stream into results/")
+                    help="copy the metrics stream (and any spiral videos, "
+                         "see --vid_freq) into results/")
+    ap.add_argument("--vid_freq", type=int, default=0,
+                    help="also render spiral videos every N steps (flagship-"
+                         "run mode; 0 = off)")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="quality_run_")
@@ -97,7 +101,8 @@ def main():
         "--n_fine_samples", "128", "--lr", "5e-4", "--lr_decay", "500",
         "--bf16", *scene_flags,
         "--iters", str(args.iters),
-        "--vid_freq", "0", "--ckpt_freq", "0",
+        "--vid_freq", str(args.vid_freq),
+        "--ckpt_freq", str(args.iters // 4 if args.vid_freq else 0),
         "--val_freq", str(max(args.iters // 10, 1)),
         "--print_freq", "500", "--seed", "0",
     ])
@@ -124,6 +129,11 @@ def main():
     if args.keep_artifacts:
         shutil.copy(metrics_path,
                     os.path.join(REPO, "results", f"{run_name}_metrics.jsonl"))
+        import glob
+        for mp4 in glob.glob(os.path.join(workdir, "logs", run_name,
+                                          "*.mp4")):
+            shutil.copy(mp4, os.path.join(REPO, "results",
+                                          os.path.basename(mp4)))
 
     band = bands.get(key)
     if band is None:
