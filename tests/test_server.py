@@ -107,3 +107,34 @@ def test_unknown_path_is_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(server_url + "/nope", timeout=30)
     assert ei.value.code == 404
+
+
+def test_encode_image_ppm_fallback(monkeypatch):
+    """Without cv2 the encoder degrades to PPM and says so in the content
+    type (clients must never get PPM bytes labeled image/png)."""
+    import builtins
+    import cvnerf_tpu.server as srv
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("cv2 blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_cv2)
+    rgb8 = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    body, ctype = srv._encode_image(rgb8)
+    assert ctype == "image/x-portable-pixmap"
+    assert body.startswith(b"P6\n3 2\n255\n")
+    assert body.endswith(rgb8.tobytes())
+
+
+def test_encode_image_png_roundtrip():
+    import cv2
+    import cvnerf_tpu.server as srv
+    rgb8 = (np.random.RandomState(0).rand(5, 4, 3) * 255).astype(np.uint8)
+    body, ctype = srv._encode_image(rgb8)
+    assert ctype == "image/png"
+    decoded = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(decoded[..., ::-1], rgb8)
