@@ -145,3 +145,23 @@ def test_no_reload_starts_fresh(blender_dir, tmp_path):
                for l in open(os.path.join(logdir, "fresh", "metrics.jsonl"))]
     steps = [r["step"] for r in records if "loss" in r]
     assert steps.count(5) >= 2  # step 5 logged in both runs
+
+
+def test_profile_dir_writes_trace(blender_dir, tmp_path):
+    """--profile_dir runs the bounded profiling window (warmup, 20 traced
+    steps, remainder untraced) and leaves a jax.profiler trace on disk."""
+    import main as cli
+
+    logdir = str(tmp_path / "logs_prof")
+    prof = str(tmp_path / "trace")
+    cli.main(["--data_dir", blender_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "prof", *TINY_FLAGS,
+              "--iters", "40", "--ckpt_freq", "0",
+              "--profile_dir", prof])
+    trace_files = [os.path.join(dp, f) for dp, _, fs in os.walk(prof)
+                   for f in fs]
+    assert trace_files, "no profiler trace written"
+    # Training still completed past the traced window.
+    records = [json.loads(l)
+               for l in open(os.path.join(logdir, "prof", "metrics.jsonl"))]
+    assert max(r["step"] for r in records if "loss" in r) >= 39
