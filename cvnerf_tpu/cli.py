@@ -58,7 +58,8 @@ def main(argv=None):
     )
     from cvnerf_tpu.train.loop import TrainConfig, Trainer
     from cvnerf_tpu.train.state import create_train_state
-    from cvnerf_tpu.utils.image import psnr_images, write_png, write_video
+    from cvnerf_tpu.utils.image import (psnr_images, ssim_images, write_png,
+                                        write_video)
     from cvnerf_tpu.utils.metrics import MetricsLogger
 
     # --- data ---
@@ -133,16 +134,32 @@ def main(argv=None):
         def on_frame(i, rgb):
             write_png(os.path.join(frame_dir, f"{i:03d}.png"), rgb)
 
-        frames = render_poses_to_frames(
+        keys = ("rgb", "depth", "acc") if args.render_depth else ("rgb",)
+        out_frames = render_poses_to_frames(
             jax.random.PRNGKey(args.seed + 1), params, render_poses,
             scene.height, scene.width, scene.focal, scene.near, scene.far,
             rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
             chunk=render_chunk, factor=args.render_factor,
-            on_frame=on_frame, mesh=mesh if n_dev > 1 else None)
+            on_frame=on_frame, mesh=mesh if n_dev > 1 else None,
+            frame_keys=keys)
+        frames = out_frames if not args.render_depth else out_frames["rgb"]
         out = write_video(
             os.path.join(save_dir, f"{args.name}_spiral_{step:06d}_rgb.mp4"),
             frames, fps=30)
         print(f"Wrote video: {out} ({frames.shape[0]} frames)")
+        if args.render_depth:
+            # Normalized disparity (1 / expected termination depth, opacity-
+            # corrected), grayscale → 3-channel for the mp4 writer. The
+            # reference computes depth nowhere; this is the standard NeRF
+            # disp_map visualization.
+            depth, acc = out_frames["depth"], out_frames["acc"]
+            disp = 1.0 / np.maximum(depth / np.maximum(acc, 1e-6), 1e-6)
+            disp = disp * (acc > 1e-3)           # background → 0
+            disp = disp / max(disp.max(), 1e-6)
+            disp_path = os.path.join(
+                save_dir, f"{args.name}_spiral_{step:06d}_disp.mp4")
+            write_video(disp_path, np.repeat(disp[..., None], 3, -1), fps=30)
+            print(f"Wrote video: {disp_path}")
         return frames
 
     def val_psnr(params):
@@ -245,7 +262,7 @@ def main(argv=None):
     # eval at all — SURVEY.md §4; this is the PSNR-parity evidence).
     if len(scene.test_idx):
         from cvnerf_tpu.render.frames import render_image as _ri
-        psnrs = []
+        psnrs, ssims = [], []
         for i in np.asarray(scene.test_idx)[:8]:
             out = _ri(jax.random.PRNGKey(7), trainer.state.params,
                       scene.height, scene.width, scene.focal,
@@ -253,10 +270,12 @@ def main(argv=None):
                       scene.far, rcfg_test, ndc=scene.ndc,
                       ndc_variant=args.ndc_variant, chunk=render_chunk,
                       mesh=mesh if n_dev > 1 else None)
-            psnrs.append(psnr_images(np.asarray(out["rgb"]),
-                                     scene.images[int(i)]))
+            rgb = np.asarray(out["rgb"])
+            psnrs.append(psnr_images(rgb, scene.images[int(i)]))
+            ssims.append(ssim_images(rgb, scene.images[int(i)]))
         logger.log(int(trainer.state.step),
                    test_psnr=float(np.mean(psnrs)),
+                   test_ssim=float(np.mean(ssims)),
                    test_views=len(psnrs))
     logger.close()
     print("Training complete:", final)

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_factor", type=int, default=0)
+    p.add_argument("--render_depth", action=argparse.BooleanOptionalAction, default=False,
+                   help="also write a normalized-disparity video next to "
+                        "each spiral rgb video (depth/acc extras the "
+                        "reference discards)")
 
     p.add_argument("--precrop_iters", type=int, default=0)
     p.add_argument("--precrop_frac", type=float, default=0.5)
@@ -149,7 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
 # broke the "CLI overrides config file" contract).
 _BOOL_FLAGS = {"no_reload", "render_only", "render_test", "white_bkg",
                "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
-               "deterministic_resample", "sorted_resample"}
+               "deterministic_resample", "sorted_resample", "render_depth"}
 
 
 def _config_file_to_argv(path: str) -> list[str]:

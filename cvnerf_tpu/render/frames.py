@@ -123,7 +123,8 @@ def render_poses_to_frames(key: jax.Array,
                            chunk: int = 4096,
                            factor: int = 0,
                            on_frame: Callable[[int, np.ndarray], None] | None = None,
-                           mesh=None) -> np.ndarray:
+                           mesh=None,
+                           frame_keys: tuple[str, ...] = ("rgb",)):
     """Render a pose sequence to ``[N, H, W, 3]`` uint8-ready float frames.
 
     Reference parity: ``render_full`` (``main.py:102-124``), including the
@@ -133,24 +134,32 @@ def render_poses_to_frames(key: jax.Array,
     host only blocks on frame i when converting it to numpy, by which point
     frame i+1 is already executing on device. ``on_frame(i, rgb)`` (e.g. a
     PNG writer) runs between dispatches, overlapping IO with device compute.
+
+    ``frame_keys`` selects which render outputs to collect (``"rgb"``,
+    ``"depth"``, ``"acc"``, ``"rgb_coarse"``). With the default, returns
+    the ``[N, H, W, 3]`` RGB array; otherwise a dict of stacked arrays,
+    one per requested key (used for depth/disparity videos).
     """
     if factor:
         height, width = height // factor, width // factor
         focal = focal / factor
 
     if len(poses) == 0:
-        return np.zeros((0, height, width, 3), np.float32)
+        empty = np.zeros((0, height, width, 3), np.float32)
+        if frame_keys == ("rgb",):
+            return empty
+        return {k: empty for k in frame_keys}
 
     keys = jax.random.split(key, len(poses))
     pending: list[tuple[int, dict]] = []
-    frames: list[np.ndarray | None] = [None] * len(poses)
+    frames: list[dict | None] = [None] * len(poses)
 
     def drain(entry):
         i, out = entry
-        rgb = np.asarray(out["rgb"])  # blocks on this frame only
-        frames[i] = rgb
-        if on_frame is not None:
-            on_frame(i, rgb)
+        vals = {k: np.asarray(out[k]) for k in frame_keys}  # blocks frame i
+        frames[i] = vals
+        if on_frame is not None and "rgb" in vals:
+            on_frame(i, vals["rgb"])
 
     for i, pose in enumerate(poses):
         c2w = jnp.asarray(pose)[:3, :4]
@@ -163,4 +172,6 @@ def render_poses_to_frames(key: jax.Array,
 
     while pending:
         drain(pending.pop(0))
-    return np.stack(frames, 0)
+    if frame_keys == ("rgb",):
+        return np.stack([f["rgb"] for f in frames], 0)
+    return {k: np.stack([f[k] for f in frames], 0) for k in frame_keys}

@@ -29,6 +29,41 @@ def psnr_images(a: np.ndarray, b: np.ndarray) -> float:
     return psnr(float(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
 
+def ssim_images(a: np.ndarray, b: np.ndarray,
+                data_range: float = 1.0) -> float:
+    """Mean SSIM (Wang et al. 2004): 11×11 gaussian window (σ=1.5),
+    per-channel, biased moments, reflect-padded borders.
+
+    The reference computes no quality metric at all (its only quantitative
+    output is the raw MSE loss line — SURVEY.md §4); SSIM complements PSNR
+    in the held-out evaluation, matching the metric set of the original
+    NeRF paper (PSNR/SSIM; LPIPS needs pretrained weights unavailable in
+    hermetic environments).
+    """
+    from scipy.ndimage import gaussian_filter
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    def g(x):
+        # sigma=1.5 with truncate=3.5 → radius 5 → the canonical 11-tap
+        # window, applied over the two spatial axes only.
+        sigmas = (1.5, 1.5) + (0,) * (x.ndim - 2)
+        return gaussian_filter(x, sigmas, truncate=3.5, mode="reflect")
+
+    mu_a, mu_b = g(a), g(b)
+    var_a = g(a * a) - mu_a ** 2
+    var_b = g(b * b) - mu_b ** 2
+    cov = g(a * b) - mu_a * mu_b
+    ssim_map = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+    return float(ssim_map.mean())
+
+
 def write_png(path: str, rgb: np.ndarray) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     imageio.imwrite(path, to_byte(rgb))

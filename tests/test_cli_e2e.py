@@ -125,12 +125,13 @@ def test_train_checkpoint_resume_render(blender_dir, tmp_path):
     # Resume produced new work beyond the restored step.
     assert [s for s in steps if s > 15]
 
-    # 3. Render-only from the checkpoint.
+    # 3. Render-only from the checkpoint, with the disparity-video extra.
     from fixtures import make_blender_dataset  # noqa: F401
     cli.main([*base, "--render_only", "--render_factor", "4",
-              "--iters", "21"])
-    vids = [f for f in os.listdir(run_dir) if "spiral" in f]
-    assert vids, os.listdir(run_dir)
+              "--render_depth", "--iters", "21"])
+    names = os.listdir(run_dir)
+    assert [f for f in names if "spiral" in f], names
+    assert [f for f in names if "_disp" in f], names
 
 
 def test_no_reload_starts_fresh(blender_dir, tmp_path):

@@ -72,3 +72,25 @@ def test_render_poses_factor_downscale():
         jax.random.PRNGKey(0), params, [p], 16, 16, 10.0, 2.0, 6.0, cfg,
         chunk=64, factor=2)
     assert frames.shape == (1, 8, 8, 3)
+
+
+def test_render_poses_frame_keys_extras():
+    """frame_keys collects depth/acc alongside rgb (used for disparity
+    videos) and matches the rgb-only return bitwise."""
+    params, cfg = _params(), _cfg()
+    poses = []
+    for z in (3.0, 5.0):
+        p = np.eye(4, dtype=np.float32)
+        p[2, 3] = z
+        poses.append(p)
+    rgb_only = render_poses_to_frames(
+        jax.random.PRNGKey(0), params, poses, 8, 8, 10.0, 2.0, 6.0, cfg,
+        chunk=64)
+    out = render_poses_to_frames(
+        jax.random.PRNGKey(0), params, poses, 8, 8, 10.0, 2.0, 6.0, cfg,
+        chunk=64, frame_keys=("rgb", "depth", "acc"))
+    assert set(out) == {"rgb", "depth", "acc"}
+    np.testing.assert_array_equal(out["rgb"], rgb_only)
+    assert out["depth"].shape == (2, 8, 8)
+    assert out["acc"].shape == (2, 8, 8)
+    assert np.isfinite(out["depth"]).all() and np.isfinite(out["acc"]).all()

@@ -166,3 +166,37 @@ def test_async_save_safe_against_donation(tmp_path):
     for a, b in zip(jax.tree.leaves(expected),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ssim_identical_is_one():
+    from cvnerf_tpu.utils.image import ssim_images
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32, 3)
+    assert abs(ssim_images(img, img) - 1.0) < 1e-12
+
+
+def test_ssim_constant_images_analytic():
+    """For constant images variance and covariance vanish, so SSIM reduces
+    to the luminance term (2 m1 m2 + C1)/(m1^2 + m2^2 + C1) exactly."""
+    from cvnerf_tpu.utils.image import ssim_images
+    m1, m2, c1 = 0.3, 0.7, (0.01) ** 2
+    a = np.full((24, 24), m1)
+    b = np.full((24, 24), m2)
+    expect = (2 * m1 * m2 + c1) / (m1 ** 2 + m2 ** 2 + c1)
+    assert abs(ssim_images(a, b) - expect) < 1e-12
+
+
+def test_ssim_degrades_monotonically_with_noise():
+    from cvnerf_tpu.utils.image import ssim_images
+    rng = np.random.RandomState(1)
+    img = rng.rand(40, 40, 3)
+    vals = [ssim_images(img, np.clip(img + rng.randn(40, 40, 3) * s, 0, 1))
+            for s in (0.0, 0.02, 0.1, 0.3)]
+    assert all(vals[i] > vals[i + 1] for i in range(len(vals) - 1))
+    assert vals[0] == 1.0 and vals[-1] < 0.8
+
+
+def test_ssim_shape_mismatch_raises():
+    from cvnerf_tpu.utils.image import ssim_images
+    with np.testing.assert_raises(ValueError):
+        ssim_images(np.zeros((4, 4)), np.zeros((5, 4)))
