@@ -88,6 +88,13 @@ class NerfRenderer:
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
         """Render one ``[H, W, 3]`` view from a ``[3+,4]`` c2w pose."""
+        return np.asarray(self.render_pose_extras(c2w, factor)["rgb"])
+
+    def render_pose_extras(self, c2w, factor: int = 0) -> dict:
+        """Like :meth:`render_pose` but returns the full output dict —
+        ``rgb`` plus the ``depth``/``acc``/``rgb_coarse`` extras the
+        renderer computes anyway (reference discards them; SURVEY.md §2.1
+        C6 returns only the rgb maps)."""
         import jax.numpy as jnp
         h, w, f = self.height, self.width, self.focal
         if factor:
@@ -97,7 +104,7 @@ class NerfRenderer:
                            self.cfg, ndc=self.ndc,
                            ndc_variant=self.ndc_variant, chunk=self.chunk,
                            mesh=self.mesh)
-        return np.asarray(out["rgb"])
+        return {k: np.asarray(v) for k, v in out.items()}
 
     def render_video(self, poses, factor: int = 0,
                      on_frame=None) -> np.ndarray:

@@ -107,16 +107,23 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             fmt = req.get("format", "png")
             if fmt not in ("png", "json"):
                 raise ValueError(f"format must be png|json, got {fmt!r}")
+            include_depth = bool(req.get("include_depth", False))
+            if include_depth and fmt != "json":
+                raise ValueError("include_depth requires format=json")
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._json(400, {"error": repr(e)})
             return
 
         with self.server.render_lock:
-            rgb = self.server.renderer.render_pose(c2w, factor=factor)
+            out = self.server.renderer.render_pose_extras(c2w, factor=factor)
+        rgb = out["rgb"]
 
         if fmt == "json":
-            self._json(200, {"rgb": rgb.tolist(),
-                             "shape": list(rgb.shape)})
+            payload = {"rgb": rgb.tolist(), "shape": list(rgb.shape)}
+            if include_depth:
+                payload["depth"] = out["depth"].tolist()
+                payload["acc"] = out["acc"].tolist()
+            self._json(200, payload)
             return
         body, ctype = _encode_image(np.asarray(to_byte(rgb)))
         self.send_response(200)

@@ -138,3 +138,22 @@ def test_encode_image_png_roundtrip():
     assert ctype == "image/png"
     decoded = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
     np.testing.assert_array_equal(decoded[..., ::-1], rgb8)
+
+
+def test_render_json_with_depth(server_url):
+    r = _post(server_url + "/render",
+              {"c2w": POSE, "format": "json", "include_depth": True})
+    body = json.loads(r.read())
+    h, w = body["shape"][:2]
+    depth = np.asarray(body["depth"])
+    acc = np.asarray(body["acc"])
+    assert depth.shape == (h, w) and acc.shape == (h, w)
+    assert np.isfinite(depth).all() and (acc >= 0).all()
+
+
+def test_include_depth_requires_json(server_url):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server_url + "/render",
+              {"c2w": POSE, "format": "png", "include_depth": True})
+    assert ei.value.code == 400
