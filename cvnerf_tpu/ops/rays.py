@@ -91,6 +91,16 @@ def ndc_rays(height: float, width: float, focal: float, near: float,
     reference's directions mix ray slopes with NDC-origin components. Kept
     behind a flag for bit-parity studies (SURVEY.md §2.3-3).
 
+    WARNING: the reference variant is numerically unusable on recentered
+    forward-facing captures (the standard LLFF pipeline): the ``o + t·o``
+    shift cannot move a camera off the z≈0 plane recentering puts it on,
+    so origins project to |z| >> 1 (outside the NDC frustum) and exactly
+    z=0 yields inf/NaN — measured: a 3k-step train run under this variant
+    NaNs, and a camera at z=0.013 lands its NDC origin at ~77. The
+    reference itself could never exercise this code end-to-end (its HEAD
+    crashes at the ``batchify_rays`` NameError first, main.py:79). This is
+    the evidence for the canonical default.
+
     Args:
         rays_o, rays_d: ``[..., 3]`` world-space rays.
     Returns:

@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--vid_freq", type=int, default=0,
                     help="also render spiral videos every N steps (flagship-"
                          "run mode; 0 = off)")
+    ap.add_argument("--ndc_variant", default="canonical",
+                    choices=["canonical", "reference"],
+                    help="NDC formula (llff_plane only): 'reference' "
+                         "exercises the reference's deviant origin shift "
+                         "(SURVEY.md §2.3-3) against the canonical band")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="quality_run_")
@@ -99,7 +104,7 @@ def main():
         "--save_dir", os.path.join(workdir, "logs"),
         "--n_rays", "1024", "--n_coarse_samples", "64",
         "--n_fine_samples", "128", "--lr", "5e-4", "--lr_decay", "500",
-        "--bf16", *scene_flags,
+        "--bf16", "--ndc_variant", args.ndc_variant, *scene_flags,
         "--iters", str(args.iters),
         "--vid_freq", str(args.vid_freq),
         "--ckpt_freq", str(args.iters // 4 if args.vid_freq else 0),

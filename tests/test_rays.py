@@ -111,3 +111,20 @@ def test_ndc_reference_variant_golden():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(ndc_d), ndc_d_exp, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_ndc_reference_variant_diverges_at_recentered_poses():
+    """The reference's o + t*o shift cannot move a camera off the z=0 plane
+    (where LLFF recentering puts it): exact z=0 produces non-finite NDC
+    coordinates, while the canonical warp stays on the near plane. This is
+    the documented evidence for the canonical default (PARITY.md item 3)."""
+    import jax.numpy as jnp
+    from cvnerf_tpu.ops.rays import ndc_rays
+    o = jnp.array([[0.1, -0.2, 0.0]])
+    d = jnp.array([[0.01, 0.02, -1.0]])
+    co, cd = ndc_rays(96.0, 128.0, 120.0, 1.0, o, d, variant="canonical")
+    ro, rd = ndc_rays(96.0, 128.0, 120.0, 1.0, o, d, variant="reference")
+    assert np.isfinite(np.asarray(co)).all()
+    assert np.isfinite(np.asarray(cd)).all()
+    assert np.allclose(np.asarray(co)[0, 2], -1.0)  # on the near plane
+    assert not np.isfinite(np.asarray(ro)).all()
