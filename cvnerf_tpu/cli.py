@@ -180,7 +180,18 @@ def main(argv=None):
         if n_dev > 1:
             from cvnerf_tpu.parallel.mesh import replicated_sharding
             params = jax.device_put(params, replicated_sharding(mesh))
-        spiral_video(start, params)
+        frames = spiral_video(start, params)
+        if args.render_test and not args.render_factor:
+            # Rendering the held-out poses at full resolution: report the
+            # test metrics too (the render IS the evaluation).
+            psnrs = [psnr_images(frames[k], scene.images[int(i)])
+                     for k, i in enumerate(np.asarray(scene.test_idx))]
+            ssims = [ssim_images(frames[k], scene.images[int(i)])
+                     for k, i in enumerate(np.asarray(scene.test_idx))]
+            print(f"render_test @ step {start}: test_psnr="
+                  f"{float(np.mean(psnrs)):.3f} "
+                  f"test_ssim={float(np.mean(ssims)):.4f} "
+                  f"({len(psnrs)} views)")
         return
 
     # --- training ---

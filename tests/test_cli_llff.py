@@ -77,7 +77,7 @@ def test_ft_path_restores_into_new_run(llff_dir, tmp_path):
     assert steps and min(steps) > 6
 
 
-def test_llff_render_test_poses(llff_dir, tmp_path):
+def test_llff_render_test_poses(llff_dir, tmp_path, capsys):
     import main as cli
     logdir = str(tmp_path / "logs3")
     cli.main(["--data_dir", llff_dir, "--base_dir", logdir,
@@ -89,3 +89,7 @@ def test_llff_render_test_poses(llff_dir, tmp_path):
     # render_test renders the held-out poses (2 of 8), not the 120 spiral.
     frames = os.listdir(os.path.join(run_dir, frame_dirs[0]))
     assert len(frames) == 2
+    # Full-res held-out renders double as the evaluation: metrics printed.
+    printed = capsys.readouterr().out
+    assert "test_psnr=" in printed and "test_ssim=" in printed
+    assert "(2 views)" in printed
