@@ -145,10 +145,12 @@ def render_poses_to_frames(key: jax.Array,
         focal = focal / factor
 
     if len(poses) == 0:
-        empty = np.zeros((0, height, width, 3), np.float32)
+        def empty_for(k):  # rgb maps carry a channel axis; depth/acc don't
+            ch = (3,) if k in ("rgb", "rgb_coarse") else ()
+            return np.zeros((0, height, width, *ch), np.float32)
         if frame_keys == ("rgb",):
-            return empty
-        return {k: empty for k in frame_keys}
+            return empty_for("rgb")
+        return {k: empty_for(k) for k in frame_keys}
 
     keys = jax.random.split(key, len(poses))
     pending: list[tuple[int, dict]] = []

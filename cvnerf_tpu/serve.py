@@ -88,13 +88,16 @@ class NerfRenderer:
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
         """Render one ``[H, W, 3]`` view from a ``[3+,4]`` c2w pose."""
-        return np.asarray(self.render_pose_extras(c2w, factor)["rgb"])
+        return self.render_pose_extras(c2w, factor, keys=("rgb",))["rgb"]
 
-    def render_pose_extras(self, c2w, factor: int = 0) -> dict:
-        """Like :meth:`render_pose` but returns the full output dict —
-        ``rgb`` plus the ``depth``/``acc``/``rgb_coarse`` extras the
-        renderer computes anyway (reference discards them; SURVEY.md §2.1
-        C6 returns only the rgb maps)."""
+    def render_pose_extras(self, c2w, factor: int = 0,
+                           keys: tuple[str, ...] = ("rgb", "depth", "acc"),
+                           ) -> dict:
+        """Like :meth:`render_pose` but returns a dict of the requested
+        render outputs (``rgb`` plus ``depth``/``acc``/``rgb_coarse``
+        extras the renderer computes anyway; reference discards them —
+        SURVEY.md §2.1 C6 returns only the rgb maps). Only the requested
+        ``keys`` are transferred device→host — the rest stay on device."""
         import jax.numpy as jnp
         h, w, f = self.height, self.width, self.focal
         if factor:
@@ -104,7 +107,7 @@ class NerfRenderer:
                            self.cfg, ndc=self.ndc,
                            ndc_variant=self.ndc_variant, chunk=self.chunk,
                            mesh=self.mesh)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: np.asarray(out[k]) for k in keys}
 
     def render_video(self, poses, factor: int = 0,
                      on_frame=None) -> np.ndarray:

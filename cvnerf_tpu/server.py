@@ -107,15 +107,20 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             fmt = req.get("format", "png")
             if fmt not in ("png", "json"):
                 raise ValueError(f"format must be png|json, got {fmt!r}")
-            include_depth = bool(req.get("include_depth", False))
+            include_depth = req.get("include_depth", False)
+            if not isinstance(include_depth, bool):
+                raise ValueError("include_depth must be a JSON boolean, "
+                                 f"got {include_depth!r}")
             if include_depth and fmt != "json":
                 raise ValueError("include_depth requires format=json")
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._json(400, {"error": repr(e)})
             return
 
+        keys = ("rgb", "depth", "acc") if include_depth else ("rgb",)
         with self.server.render_lock:
-            out = self.server.renderer.render_pose_extras(c2w, factor=factor)
+            out = self.server.renderer.render_pose_extras(c2w, factor=factor,
+                                                          keys=keys)
         rgb = out["rgb"]
 
         if fmt == "json":

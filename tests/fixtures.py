@@ -94,6 +94,20 @@ def render_plane_scene(h, w, focal, c2w, plane_z=-2.0):
     return np.clip(rgb, 0, 1).astype(np.float32)
 
 
+def _llff_row(c2w, h, w, focal, near, far) -> np.ndarray:
+    """One poses_bounds.npy row from a NeRF-convention [3,4] c2w.
+
+    LLFF disk layout: rotation columns permuted [-y, x, z] relative to NeRF
+    convention — the loader's fixup [y,-x,z] inverts this — with the [h,w,f]
+    column appended and the two depth bounds at the end (reference
+    data_helpers.py:119-132)."""
+    pose_llff = np.concatenate(
+        [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:]], axis=1)
+    hwf = np.array([[h], [w], [focal]], np.float64)
+    return np.concatenate(
+        [np.concatenate([pose_llff, hwf], 1).reshape(-1), [near, far]])
+
+
 def make_llff_dataset(basedir: str, n: int = 9, h: int = 32, w: int = 40,
                       focal: float = 40.0) -> None:
     """Write an LLFF-format micro-scene: forward-facing cameras looking at a
@@ -112,12 +126,40 @@ def make_llff_dataset(basedir: str, n: int = 9, h: int = 32, w: int = 40,
         rgb = render_plane_scene(h, w, focal, c2w.astype(np.float32))
         imageio.imwrite(os.path.join(imgdir, f"img_{i:03d}.png"),
                         (rgb * 255).astype(np.uint8))
-        # LLFF disk layout: rotation columns permuted [-y, x, z] relative to
-        # NeRF convention — the loader's fixup [y,-x,z] inverts this.
-        pose_llff = np.concatenate(
-            [-c2w[:, 1:2], c2w[:, 0:1], c2w[:, 2:]], axis=1)
-        hwf = np.array([[h], [w], [focal]], np.float64)
-        row = np.concatenate(
-            [np.concatenate([pose_llff, hwf], 1).reshape(-1), [1.5, 4.0]])
-        rows.append(row)
+        rows.append(_llff_row(c2w, h, w, focal, 1.5, 4.0))
+    np.save(os.path.join(basedir, "poses_bounds.npy"), np.stack(rows, 0))
+
+
+def _look_at(campos, target=(0.0, 0.0, 0.0), up=(0.0, 0.0, 1.0)):
+    """NeRF-convention c2w (camera looks down its -z) from a position."""
+    campos = np.asarray(campos, np.float64)
+    z = campos - np.asarray(target, np.float64)
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, campos], axis=1)  # [3, 4]
+
+
+def make_llff_360_dataset(basedir: str, n: int = 12, h: int = 40, w: int = 40,
+                          focal: float = 50.0, radius: float = 4.0,
+                          texture: str = "checker") -> None:
+    """Write an LLFF-format 360-degree inward-facing capture: cameras on a
+    ring around the origin looking at a textured sphere — the --spherify
+    workload (reference parses the flag but ignores it, main.py:450)."""
+    imgdir = os.path.join(basedir, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        theta = 2 * np.pi * i / n
+        elev = 0.8 if i % 2 == 0 else 2.0   # two rings for pose diversity
+        campos = np.array([radius * np.cos(theta), radius * np.sin(theta),
+                           elev])
+        c2w = _look_at(campos)
+        rgba = render_sphere_scene(h, w, focal, c2w.astype(np.float32),
+                                   texture=texture)
+        imageio.imwrite(os.path.join(imgdir, f"img_{i:03d}.png"),
+                        (rgba[..., :3] * 255).astype(np.uint8))
+        dist = np.linalg.norm(campos)
+        rows.append(_llff_row(c2w, h, w, focal, dist - 1.5, dist + 1.5))
     np.save(os.path.join(basedir, "poses_bounds.npy"), np.stack(rows, 0))

@@ -94,3 +94,13 @@ def test_render_poses_frame_keys_extras():
     assert out["depth"].shape == (2, 8, 8)
     assert out["acc"].shape == (2, 8, 8)
     assert np.isfinite(out["depth"]).all() and np.isfinite(out["acc"]).all()
+
+
+def test_render_poses_empty_frame_keys_shapes():
+    params, cfg = _params(), _cfg()
+    out = render_poses_to_frames(
+        jax.random.PRNGKey(0), params, [], 8, 8, 10.0, 2.0, 6.0, cfg,
+        chunk=64, frame_keys=("rgb", "depth", "acc"))
+    assert out["rgb"].shape == (0, 8, 8, 3)
+    assert out["depth"].shape == (0, 8, 8)
+    assert out["acc"].shape == (0, 8, 8)

@@ -131,7 +131,7 @@ def test_encode_image_ppm_fallback(monkeypatch):
 
 
 def test_encode_image_png_roundtrip():
-    import cv2
+    cv2 = pytest.importorskip("cv2")
     import cvnerf_tpu.server as srv
     rgb8 = (np.random.RandomState(0).rand(5, 4, 3) * 255).astype(np.uint8)
     body, ctype = srv._encode_image(rgb8)
@@ -157,3 +157,12 @@ def test_include_depth_requires_json(server_url):
         _post(server_url + "/render",
               {"c2w": POSE, "format": "png", "include_depth": True})
     assert ei.value.code == 400
+
+
+def test_include_depth_must_be_boolean(server_url):
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server_url + "/render",
+              {"c2w": POSE, "format": "json", "include_depth": "false"})
+    assert ei.value.code == 400
+    assert "boolean" in json.loads(ei.value.read())["error"]
