@@ -178,8 +178,11 @@ def sample_without_replacement(key: jax.Array, n: int, m: int) -> jnp.ndarray:
     # Cycle walk as a fori_loop (fixed trip count → one compiled body; an
     # unrolled walk costs ~25 s of compile time for no runtime benefit).
     # Trip count from the actual escape probability: (1-p)^passes < 2^-40.
+    # p == 1 (m an exact power of two) needs no walk at all — the Feistel
+    # domain equals [0, m).
     p = m / float(1 << total_bits)
-    passes = int(np.ceil(-40.0 * np.log(2.0) / np.log1p(-p)))
+    passes = (0 if p >= 1.0
+              else int(np.ceil(-40.0 * np.log(2.0) / np.log1p(-p))))
     y = jax.lax.fori_loop(
         0, passes,
         lambda _, v: jnp.where(v < np.uint32(m), v, encrypt(v)), y)

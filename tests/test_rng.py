@@ -151,3 +151,16 @@ def test_sample_without_replacement_rejects_oversample():
     from cvnerf_tpu.ops.rng import sample_without_replacement as swr
     with pytest.raises(ValueError):
         swr(jax.random.PRNGKey(0), 10, 5)
+
+
+def test_sample_without_replacement_power_of_two_domain():
+    """m an exact power of two -> escape probability 1, zero walk passes;
+    must not warn (log1p(-1) division) and stays a permutation."""
+    import functools
+    import warnings
+    from cvnerf_tpu.ops.rng import sample_without_replacement as swr
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        f = jax.jit(functools.partial(swr, n=1024, m=1024))
+        p = np.asarray(f(jax.random.PRNGKey(0)))
+    assert sorted(p.tolist()) == list(range(1024))
