@@ -5,7 +5,7 @@ check the final held-out test PSNR against the band in
 
 The reference bundles no lego/fern images, so quality evidence uses the
 seeded, analytically-rendered multi-view-consistent fixtures
-(``tests/fixtures.py``) in the exact Blender/LLFF on-disk formats. Two
+(``tests/fixtures.py``) in the exact Blender/LLFF on-disk formats. Three
 canonical regression scenes:
 
 * ``checker`` (default) — a CHECKER-textured sphere in Blender format: hard
@@ -15,6 +15,9 @@ canonical regression scenes:
 * ``llff_plane`` — a sinusoid-textured forward-facing plane in LLFF format:
   exercises the *other* data path end-to-end (poses_bounds.npy ingest, pose
   recentering/rescale, NDC warp) at the fern config's training shape.
+* ``llff_360`` — rings of inward-facing cameras around a checker sphere:
+  the ``--spherify`` non-NDC workload (the reference parses the flag but
+  ignores it).
 
 Usage:
     python scripts/quality_run.py                     # checker, 50k (band)
@@ -57,6 +60,23 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
                          "seeded fixture (tests/fixtures.py)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
+    elif scene == "llff_360":
+        data_dir = os.path.join(workdir, "s360")
+        from fixtures import make_llff_360_dataset
+        make_llff_360_dataset(data_dir, n=30, h=100, w=100, focal=120.0)
+        # The --spherify workload: 360-degree inward-facing capture, non-NDC
+        # bounds (the reference parses spherify but ignores it, main.py:450).
+        # noise 1.0 as in the fern config: without density noise a sparse
+        # ring of views collapses into per-camera floaters (a 14-view
+        # noise-0 variant measured 12.7 dB test with val stuck at the
+        # all-background 11.07 dB).
+        flags = ["--dtype", "llff", "--factor", "1", "--llffhold", "10",
+                 "--spherify", "--no_ndc", "--noise", "1.0"]
+        info = {"scene": "360-degree inward rings of 30 cameras around a "
+                         "checker sphere (3 elevations), 100x100 LLFF, spherified "
+                         "(tests/fixtures.py::make_llff_360_dataset)",
+                "config": "1024 rays, 64+128 samples, bf16+Pallas, "
+                          "spherify+no_ndc, noise 1.0, lr 5e-4/decay 500, seed 0"}
     elif scene == "llff_plane":
         data_dir = os.path.join(workdir, "plane")
         make_llff_dataset(data_dir, n=12, h=96, w=128, focal=120.0)
@@ -77,7 +97,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50000)
     ap.add_argument("--scene", default="checker",
-                    choices=["checker", "llff_plane"])
+                    choices=["checker", "llff_plane", "llff_360"])
     ap.add_argument("--pin", action="store_true",
                     help="write measured-1.0 dB as the new lower band")
     ap.add_argument("--keep_artifacts", action="store_true",

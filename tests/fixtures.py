@@ -146,20 +146,30 @@ def make_llff_360_dataset(basedir: str, n: int = 12, h: int = 40, w: int = 40,
                           texture: str = "checker") -> None:
     """Write an LLFF-format 360-degree inward-facing capture: cameras on a
     ring around the origin looking at a textured sphere — the --spherify
-    workload (reference parses the flag but ignores it, main.py:450)."""
+    workload (reference parses the flag but ignores it, main.py:450).
+
+    The sphere is composited over a WHITE surround, mirroring real captures
+    where every pixel has scene content. A black-void background makes the
+    scene untrainable for a reference-recipe NeRF at spherify's unit scale:
+    rendering nothing exactly matches 3/4 of the pixels, the per-sample
+    alpha gradient is tiny (delta ~= 0.013 after rescale), and sigma
+    saturates negative (dead ReLU) — measured: acc stays exactly 0 through
+    16k steps, eval frozen at the all-background 11.0 dB."""
     imgdir = os.path.join(basedir, "images")
     os.makedirs(imgdir, exist_ok=True)
     rows = []
+    elevs = (0.4, 1.2, 2.2)                 # three rings for pose diversity
     for i in range(n):
         theta = 2 * np.pi * i / n
-        elev = 0.8 if i % 2 == 0 else 2.0   # two rings for pose diversity
+        elev = elevs[i % len(elevs)]
         campos = np.array([radius * np.cos(theta), radius * np.sin(theta),
                            elev])
         c2w = _look_at(campos)
         rgba = render_sphere_scene(h, w, focal, c2w.astype(np.float32),
                                    texture=texture)
+        rgb = rgba[..., :3] + (1.0 - rgba[..., 3:])   # over white surround
         imageio.imwrite(os.path.join(imgdir, f"img_{i:03d}.png"),
-                        (rgba[..., :3] * 255).astype(np.uint8))
+                        (rgb * 255).astype(np.uint8))
         dist = np.linalg.norm(campos)
         rows.append(_llff_row(c2w, h, w, focal, dist - 1.5, dist + 1.5))
     np.save(os.path.join(basedir, "poses_bounds.npy"), np.stack(rows, 0))

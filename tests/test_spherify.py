@@ -51,3 +51,31 @@ def test_spherify_through_load_scene(tmp_path):
     assert scene.near > 0
     assert scene.render_poses.shape[0] == 120
     assert np.isfinite(scene.render_poses).all()
+
+
+def test_spherify_cli_train_e2e(tmp_path):
+    """Train a few steps on a real 360-degree inward-facing capture through
+    the full CLI (--spherify --no_ndc), the reference's dead-flag workload
+    made real at the pipeline level."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, "tests")
+    from fixtures import make_llff_360_dataset
+    import main as cli
+    d = str(tmp_path / "s360")
+    make_llff_360_dataset(d, n=8, h=16, w=24)
+    logdir = str(tmp_path / "logs")
+    cli.main(["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+              "--name", "s360", "--dtype", "llff", "--factor", "1",
+              "--llffhold", "4", "--spherify", "--no_ndc",
+              "--n_rays", "64", "--n_coarse_samples", "8",
+              "--n_fine_samples", "8", "--trunk_width", "32",
+              "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+              "--chunk", "256", "--print_freq", "5", "--vid_freq", "0",
+              "--val_freq", "0", "--ckpt_freq", "0", "--iters", "8"])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "s360", "metrics.jsonl"))]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
+    assert any("test_psnr" in r for r in recs)
