@@ -102,6 +102,21 @@ def main(argv=None):
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
+
+    def backup_stale_ckpts(reason: str) -> None:
+        # Move the run dir's existing checkpoints aside so this run's
+        # (lower-step) saves aren't shadowed at resume time — and don't
+        # crash mid-run when the async writer refuses a lower step.
+        if not (os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)):
+            return
+        base = f"{ckpt_dir}.bak-{latest_step(ckpt_dir)}"
+        backup, k = base, 1
+        while os.path.exists(backup):   # repeated restarts at the same step
+            backup = f"{base}.{k}"
+            k += 1
+        os.rename(ckpt_dir, backup)
+        print(f"{reason}: moved existing checkpoints to {backup}")
+
     start = 0
     if args.ft_path:
         restored = restore_checkpoint(args.ft_path, state)
@@ -109,18 +124,19 @@ def main(argv=None):
             sys.exit(f"--ft_path {args.ft_path}: no checkpoint found")
         state, start = restored, int(restored.step)
         print(f"Restored fine-tune checkpoint at step {start}")
+        if os.path.abspath(args.ft_path) != os.path.abspath(ckpt_dir) and \
+                (latest_step(ckpt_dir) or -1) > start:
+            # The run dir holds checkpoints newer than the fine-tune start;
+            # saving step start+k onto them would fail at the first
+            # periodic save — catch it here instead of mid-run.
+            backup_stale_ckpts("--ft_path behind existing checkpoints")
     elif not args.no_reload:
         restored = restore_checkpoint(ckpt_dir, state)
         if restored is not None:
             state, start = restored, int(restored.step)
             print(f"Resumed from checkpoint at step {start}")
-    elif os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
-        # --no_reload restarts from scratch; move the old run's checkpoints
-        # aside so the fresh run's (lower-step) saves aren't shadowed by
-        # stale higher-step ones at resume time.
-        backup = f"{ckpt_dir}.bak-{latest_step(ckpt_dir)}"
-        os.rename(ckpt_dir, backup)
-        print(f"--no_reload: moved existing checkpoints to {backup}")
+    else:
+        backup_stale_ckpts("--no_reload")
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -164,7 +180,14 @@ def main(argv=None):
 
     def val_psnr(params):
         from cvnerf_tpu.render.frames import render_image
-        i = int(scene.val_idx[0]) if len(scene.val_idx) else 0
+        if len(scene.val_idx):
+            i = int(scene.val_idx[0])
+        elif len(scene.test_idx):
+            i = int(scene.test_idx[0])
+        else:
+            # No held-out view at all: logging a TRAIN view's PSNR as
+            # val_psnr would be silently optimistic — skip instead.
+            return None, None
         out = render_image(
             jax.random.PRNGKey(123), params, scene.height, scene.width,
             scene.focal, jnp.asarray(scene.poses[i]), scene.near, scene.far,
@@ -242,6 +265,8 @@ def main(argv=None):
     @_non_fatal
     def val_cb(i, tr, m):
         v, rgb = val_psnr(tr.state.params)
+        if v is None:
+            return
         logger.log(i, val_psnr=v)
         logger.log_image(i, "val_render", rgb)
 

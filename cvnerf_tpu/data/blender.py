@@ -61,11 +61,15 @@ def load_blender_data(basedir: str, half_res: bool = False,
                                     dtype=np.float32))
         imgs = (np.asarray(imgs) / 255.0).astype(np.float32)
         all_imgs.append(imgs)
-        all_poses.append(np.stack(poses, 0))
+        all_poses.append(np.stack(poses, 0) if poses
+                         else np.zeros((0, 4, 4), np.float32))
         counts.append(counts[-1] + imgs.shape[0])
 
     i_split = [np.arange(counts[i], counts[i + 1]) for i in range(3)]
-    imgs = np.concatenate(all_imgs, 0)
+    # An empty split (e.g. no val frames) stacks to shape (0,); drop those
+    # from the concat so they don't poison the [N,H,W,C] layout (the
+    # reference crashes on an empty split, data_helpers.py:78).
+    imgs = np.concatenate([a for a in all_imgs if a.size], 0)
     poses = np.concatenate(all_poses, 0)
 
     height, width = imgs.shape[1:3]

@@ -71,7 +71,15 @@ def _bits_to_unit_float(bits: jnp.ndarray) -> jnp.ndarray:
 def _ray_bits(key: jax.Array, tag: int, ray_ids: jnp.ndarray,
               n: int) -> jnp.ndarray:
     """[len(ray_ids), n] uint32, entry (i, j) a pure function of
-    (key, tag, ray_ids[i], j)."""
+    (key, tag, ray_ids[i], j, n).
+
+    NOTE the ``n``: the two threefry output words are laid out as
+    ``[o0 | o1]`` with ``m = ceil(n/2)`` counters, so column j maps to a
+    different (word, counter) pair at different ``n`` — streams are stable
+    per (tag, n), NOT prefix-stable across different n. Every caller uses a
+    fixed n per tag (jitter/resample/noise sample counts), which is what
+    the partition-invariance contract needs; do not rely on shared
+    prefixes between calls with different n."""
     tagged = jax.random.fold_in(key, tag)
     k0, k1 = _key_words(tagged)
     m = (n + 1) // 2

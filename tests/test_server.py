@@ -166,3 +166,36 @@ def test_include_depth_must_be_boolean(server_url):
               {"c2w": POSE, "format": "json", "include_depth": "false"})
     assert ei.value.code == 400
     assert "boolean" in json.loads(ei.value.read())["error"]
+
+
+def test_server_cli_exposes_ndc_flags():
+    """Forward-facing (fern/skull) checkpoints need the NDC warp at serve
+    time; the CLI must be able to express it (previously unreachable)."""
+    from cvnerf_tpu.server import build_parser
+    base = ["--ckpt", "x", "--height", "4", "--width", "4",
+            "--focal", "4", "--near", "0", "--far", "1"]
+    args = build_parser().parse_args(base)
+    assert args.ndc is False
+    args = build_parser().parse_args(
+        [*base, "--ndc", "--ndc_variant", "reference"])
+    assert args.ndc is True and args.ndc_variant == "reference"
+
+
+def test_renderer_ndc_changes_output(tmp_path):
+    """NerfRenderer must actually forward ndc= into the render (an ignored
+    flag would silently serve unwarped rays)."""
+    d = str(tmp_path / "ck")
+    state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
+    params = state.params
+    for net in ("coarse", "fine"):
+        params[net]["alpha"]["b"] = params[net]["alpha"]["b"] + 1.0
+    save_checkpoint(d, TrainState(params=params, opt_state=state.opt_state,
+                                  step=state.step))
+    kw = dict(height=8, width=8, focal=10.0, near=0.0, far=1.0,
+              cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
+              chunk=64, use_mesh=False)
+    pose = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0.5]])
+    a = NerfRenderer(d, ndc=False, **kw).render_pose(pose)
+    b = NerfRenderer(d, ndc=True, **kw).render_pose(pose)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert not np.allclose(a, b)

@@ -182,3 +182,27 @@ def test_scan_matches_single_step_bitwise():
     assert m1["loss"] == m4["loss"]
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shared_fire_step_callbacks_see_identical_metrics():
+    """All callbacks firing at one step get THE SAME finalized metrics — a
+    slow earlier callback must not deflate a later one's rays_per_sec."""
+    import time as _time
+    cfg = _tiny_cfg()
+    state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                               lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+    images, poses = _tiny_scene()
+    tr = Trainer(cfg, state, images, poses, [0], seed=0, steps_per_call=4)
+    seen = []
+    tr.add_callback(4, lambda i, t, m: (seen.append((i, m)),
+                                        _time.sleep(0.3)))
+    tr.add_callback(4, lambda i, t, m: seen.append((i, m)))
+    tr.run(1, 9)
+    by_step = {}
+    for i, m in seen:
+        by_step.setdefault(i, []).append(m)
+    assert set(by_step) == {4, 8}
+    for i, ms in by_step.items():
+        assert len(ms) == 2
+        assert ms[0] is ms[1], f"step {i}: callbacks saw different metrics"
+        assert ms[0]["rays_per_sec"] > 0
