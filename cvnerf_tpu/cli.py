@@ -100,6 +100,17 @@ def main(argv=None):
         rcfg_test = dataclasses.replace(rcfg_test,
                                         deterministic_resample=True)
 
+    # Persist the derived scene geometry + architecture so `cvnerf-serve
+    # --run <dir>` (and NerfRenderer.from_run_dir) need zero hand-typed
+    # geometry flags.
+    from cvnerf_tpu.serve import write_scene_snapshot
+    write_scene_snapshot(
+        run_dir, height=scene.height, width=scene.width, focal=scene.focal,
+        near=scene.near, far=scene.far, ndc=scene.ndc,
+        ndc_variant=args.ndc_variant, white_bkg=args.white_bkg,
+        n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
+        bf16=args.bf16, mlp=mlp)
+
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
 
@@ -144,7 +155,7 @@ def main(argv=None):
 
     render_chunk = args.chunk
 
-    def spiral_video(step: int, params) -> None:
+    def spiral_video(step: int, params) -> np.ndarray:
         frame_dir = os.path.join(save_dir, f"spiral_{step:06d}")
 
         def on_frame(i, rgb):
@@ -178,23 +189,47 @@ def main(argv=None):
             print(f"Wrote video: {disp_path}")
         return frames
 
-    def val_psnr(params):
+    def _pick_val_views() -> np.ndarray:
+        """Held-out views scored as validation (≤4 for bounded eval cost).
+
+        When the dataset has no separate val split (LLFF: val_idx IS
+        test_idx, datasets.py), skip the first held-out view so the
+        periodic val metric and the final test metric (which always
+        includes test_idx[0]) don't overlap on the same image — a
+        model-selection signal must not double as the acceptance number.
+        """
+        vi = np.asarray(scene.val_idx)
+        ti = np.asarray(scene.test_idx)
+        if len(vi) == 0:
+            vi = ti
+        if len(vi) == 0:
+            # No held-out view at all: scoring a TRAIN view as val would
+            # be silently optimistic — skip validation instead.
+            return np.zeros((0,), np.int64)
+        if len(ti) and len(vi) > 1 and np.array_equal(vi, ti):
+            vi = vi[1:]
+        return vi[:4]
+
+    val_views = _pick_val_views()
+
+    def val_metrics(params):
+        """Mean PSNR/SSIM over the val views; returns (psnr, ssim, rgb0)."""
         from cvnerf_tpu.render.frames import render_image
-        if len(scene.val_idx):
-            i = int(scene.val_idx[0])
-        elif len(scene.test_idx):
-            i = int(scene.test_idx[0])
-        else:
-            # No held-out view at all: logging a TRAIN view's PSNR as
-            # val_psnr would be silently optimistic — skip instead.
-            return None, None
-        out = render_image(
-            jax.random.PRNGKey(123), params, scene.height, scene.width,
-            scene.focal, jnp.asarray(scene.poses[i]), scene.near, scene.far,
-            rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
-            chunk=render_chunk, mesh=mesh if n_dev > 1 else None)
-        rgb = np.asarray(out["rgb"])
-        return psnr_images(rgb, scene.images[i]), rgb
+        if not len(val_views):
+            return None, None, None
+        psnrs, ssims, rgb0 = [], [], None
+        for i in val_views:
+            out = render_image(
+                jax.random.PRNGKey(123), params, scene.height, scene.width,
+                scene.focal, jnp.asarray(scene.poses[int(i)]), scene.near,
+                scene.far, rcfg_test, ndc=scene.ndc,
+                ndc_variant=args.ndc_variant, chunk=render_chunk,
+                mesh=mesh if n_dev > 1 else None)
+            rgb = np.asarray(out["rgb"])
+            rgb0 = rgb if rgb0 is None else rgb0
+            psnrs.append(psnr_images(rgb, scene.images[int(i)]))
+            ssims.append(ssim_images(rgb, scene.images[int(i)]))
+        return float(np.mean(psnrs)), float(np.mean(ssims)), rgb0
 
     # --- render-only mode (the reference parses this flag but ignores it,
     # main.py:436; honored here) ---
@@ -264,10 +299,10 @@ def main(argv=None):
 
     @_non_fatal
     def val_cb(i, tr, m):
-        v, rgb = val_psnr(tr.state.params)
+        v, s, rgb = val_metrics(tr.state.params)
         if v is None:
             return
-        logger.log(i, val_psnr=v)
+        logger.log(i, val_psnr=v, val_ssim=s, val_views=len(val_views))
         logger.log_image(i, "val_render", rgb)
 
     trainer.add_callback(args.print_freq, log_cb)

@@ -139,7 +139,15 @@ def render_poses_to_frames(key: jax.Array,
     ``"depth"``, ``"acc"``, ``"rgb_coarse"``). With the default, returns
     the ``[N, H, W, 3]`` RGB array; otherwise a dict of stacked arrays,
     one per requested key (used for depth/disparity videos).
+
+    ``on_frame`` receives RGB frames only — it exists for PNG/preview
+    writers. Combining it with a ``frame_keys`` that omits ``"rgb"`` is
+    rejected (the callback would silently never fire).
     """
+    if on_frame is not None and "rgb" not in frame_keys:
+        raise ValueError(
+            "on_frame receives rgb frames; include 'rgb' in frame_keys "
+            f"(got {frame_keys!r}) or drop the callback")
     if factor:
         height, width = height // factor, width // factor
         focal = focal / factor

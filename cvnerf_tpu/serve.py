@@ -22,6 +22,8 @@ stochastic eval resampling (main.py:163-165 keeps it stochastic).
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
 import jax
 import numpy as np
@@ -32,6 +34,37 @@ from cvnerf_tpu.render.frames import render_image, render_poses_to_frames
 from cvnerf_tpu.render.renderer import RenderConfig
 from cvnerf_tpu.train.checkpoint import restore_checkpoint
 from cvnerf_tpu.train.state import create_train_state
+
+# Per-run snapshot of the *derived* scene geometry + architecture, written
+# by the trainer (cli.py) so serving never needs hand-typed geometry — a
+# mistyped --focal silently renders garbage; this file is the antidote.
+SCENE_SNAPSHOT = "scene.json"
+
+
+def write_scene_snapshot(run_dir: str, *, height: int, width: int,
+                         focal: float, near: float, far: float, ndc: bool,
+                         ndc_variant: str, white_bkg: bool,
+                         n_coarse: int, n_fine: int, bf16: bool,
+                         mlp: NerfMLPConfig) -> str:
+    """Persist everything a renderer needs to serve this run's checkpoints.
+
+    ``config_resolved.json`` records the raw flags; this records the
+    *derived* values (near/far/H/W/focal come out of the data loader, not
+    the flags — e.g. LLFF NDC runs train with near=0, far=1 regardless of
+    ``poses_bounds.npy``).
+    """
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, SCENE_SNAPSHOT)
+    payload = {
+        "height": int(height), "width": int(width), "focal": float(focal),
+        "near": float(near), "far": float(far), "ndc": bool(ndc),
+        "ndc_variant": ndc_variant, "white_bkg": bool(white_bkg),
+        "n_coarse": int(n_coarse), "n_fine": int(n_fine), "bf16": bool(bf16),
+        "mlp": dataclasses.asdict(mlp),
+    }
+    with open(path, "w") as fp:
+        json.dump(payload, fp, indent=2, sort_keys=True)
+    return path
 
 
 class NerfRenderer:
@@ -85,6 +118,41 @@ class NerfRenderer:
             # multihost-safe replication (host-local assembly under
             # multi-process JAX; plain device_put otherwise)
             self.params = replicate_to_mesh(self.params, self.mesh)
+
+    @classmethod
+    def from_run_dir(cls, run_dir: str, *,
+                     chunk: int = 8192,
+                     seed: int = 0,
+                     step: int | None = None,
+                     deterministic: bool = True,
+                     use_mesh: bool = True) -> "NerfRenderer":
+        """Load a renderer from a training run directory.
+
+        Reads the ``scene.json`` snapshot the trainer writes (geometry,
+        NDC mode, architecture, sample counts, compute dtype) and the
+        run's ``checkpoints/`` — zero hand-typed geometry, so serving
+        can't silently diverge from what the checkpoint was trained on.
+        """
+        path = os.path.join(run_dir, SCENE_SNAPSHOT)
+        try:
+            with open(path) as fp:
+                geo = json.load(fp)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{path} not found — {run_dir!r} is not a cvnerf_tpu run "
+                "directory (runs trained before scene snapshots were added "
+                "can be served with explicit geometry flags instead)")
+        import jax.numpy as jnp
+        cfg = RenderConfig(
+            n_coarse=geo["n_coarse"], n_fine=geo["n_fine"],
+            white_bkg=geo["white_bkg"], mlp=NerfMLPConfig(**geo["mlp"]),
+            compute_dtype=jnp.bfloat16 if geo.get("bf16") else jnp.float32)
+        return cls(os.path.join(run_dir, "checkpoints"),
+                   height=geo["height"], width=geo["width"],
+                   focal=geo["focal"], near=geo["near"], far=geo["far"],
+                   ndc=geo["ndc"], ndc_variant=geo["ndc_variant"],
+                   cfg=cfg, chunk=chunk, seed=seed, step=step,
+                   deterministic=deterministic, use_mesh=use_mesh)
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
         """Render one ``[H, W, 3]`` view from a ``[3+,4]`` c2w pose."""

@@ -18,7 +18,10 @@ time (rays inside a request are already the parallel axis — across chips
 when a mesh is present), so concurrency comes from batching rays, not from
 interleaving requests.
 
-Run:
+Run (preferred — geometry read from the training run's scene snapshot):
+    python -m cvnerf_tpu.server --run logs/lego --port 8000
+
+Run (explicit geometry, for checkpoints without a run snapshot):
     python -m cvnerf_tpu.server --ckpt logs/lego/checkpoints \
         --height 400 --width 400 --focal 555 --near 2 --far 6 --port 8000
 """
@@ -56,6 +59,12 @@ def _encode_image(rgb8: np.ndarray) -> tuple[bytes, str]:
     h, w = rgb8.shape[:2]
     body = b"P6\n%d %d\n255\n" % (w, h) + rgb8.tobytes()
     return body, "image/x-portable-pixmap"
+
+
+# A render request is a c2w matrix plus a couple of scalars — a few hundred
+# bytes of JSON. Anything beyond this bound is not a legitimate request and
+# is rejected up front (413) instead of being buffered into host memory.
+MAX_REQUEST_BYTES = 1 << 20
 
 
 class NerfRequestHandler(BaseHTTPRequestHandler):
@@ -98,12 +107,25 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length header"})
+            return
+        if n > MAX_REQUEST_BYTES:
+            self._json(413, {"error": f"request body {n} bytes exceeds "
+                                      f"the {MAX_REQUEST_BYTES}-byte limit"})
+            return
+        try:
             req = json.loads(self.rfile.read(n) or b"{}")
             c2w = np.asarray(req["c2w"], np.float32)
             if c2w.shape not in ((3, 4), (4, 4)):
                 raise ValueError(f"c2w must be [3,4] or [4,4], "
                                  f"got {list(c2w.shape)}")
             factor = int(req.get("factor", 0))
+            r: NerfRenderer = self.server.renderer
+            if factor < 0 or (factor and factor > min(r.height, r.width)):
+                raise ValueError(
+                    f"factor must be in [0, min(H, W)={min(r.height, r.width)}], "
+                    f"got {factor}")
             fmt = req.get("format", "png")
             if fmt not in ("png", "json"):
                 raise ValueError(f"format must be png|json, got {fmt!r}")
@@ -118,9 +140,15 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             return
 
         keys = ("rgb", "depth", "acc") if include_depth else ("rgb",)
-        with self.server.render_lock:
-            out = self.server.renderer.render_pose_extras(c2w, factor=factor,
-                                                          keys=keys)
+        try:
+            with self.server.render_lock:
+                out = self.server.renderer.render_pose_extras(
+                    c2w, factor=factor, keys=keys)
+        except Exception as e:  # noqa: BLE001 — the client must get a JSON
+            # 500, not a dropped connection from an escaping handler-thread
+            # exception.
+            self._json(500, {"error": f"render failed: {e!r}"})
+            return
         rgb = out["rgb"]
 
         if fmt == "json":
@@ -150,12 +178,18 @@ def make_server(renderer: NerfRenderer, host: str = "127.0.0.1",
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Serve a trained cvnerf_tpu checkpoint over HTTP")
-    p.add_argument("--ckpt", required=True, help="checkpoint directory")
-    p.add_argument("--height", type=int, required=True)
-    p.add_argument("--width", type=int, required=True)
-    p.add_argument("--focal", type=float, required=True)
-    p.add_argument("--near", type=float, required=True)
-    p.add_argument("--far", type=float, required=True)
+    p.add_argument("--run", default=None,
+                   help="a training run directory (logs/<name>): geometry, "
+                        "architecture, and checkpoints are read from its "
+                        "scene.json snapshot — no geometry flags needed "
+                        "(and none accepted; the snapshot is authoritative)")
+    p.add_argument("--ckpt", default=None, help="checkpoint directory "
+                   "(required without --run, along with the geometry flags)")
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--focal", type=float, default=None)
+    p.add_argument("--near", type=float, default=None)
+    p.add_argument("--far", type=float, default=None)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--chunk", type=int, default=8192)
@@ -171,14 +205,34 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def renderer_from_args(args) -> NerfRenderer:
+    """Build the renderer from parsed CLI args (--run snapshot or explicit
+    geometry flags). Raises SystemExit with a usage message on bad combos."""
+    geo_flags = ("ckpt", "height", "width", "focal", "near", "far")
+    if args.run:
+        given = [f"--{k}" for k in geo_flags
+                 if getattr(args, k) is not None]
+        if given:
+            raise SystemExit(
+                f"--run reads geometry from the run snapshot; drop "
+                f"{' '.join(given)} (a mistyped override would silently "
+                f"render garbage — edit <run>/scene.json instead)")
+        return NerfRenderer.from_run_dir(
+            args.run, chunk=args.chunk, deterministic=not args.stochastic)
+    missing = [f"--{k}" for k in geo_flags if getattr(args, k) is None]
+    if missing:
+        raise SystemExit(
+            f"without --run, {' '.join(missing)} are required")
+    return NerfRenderer(args.ckpt, height=args.height, width=args.width,
+                        focal=args.focal, near=args.near, far=args.far,
+                        chunk=args.chunk, ndc=args.ndc,
+                        ndc_variant=args.ndc_variant,
+                        deterministic=not args.stochastic)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-
-    renderer = NerfRenderer(args.ckpt, height=args.height, width=args.width,
-                            focal=args.focal, near=args.near, far=args.far,
-                            chunk=args.chunk, ndc=args.ndc,
-                            ndc_variant=args.ndc_variant,
-                            deterministic=not args.stochastic)
+    renderer = renderer_from_args(args)
     srv = make_server(renderer, args.host, args.port)
     print(f"serving checkpoint step {renderer.step} on "
           f"http://{args.host}:{srv.server_address[1]}")

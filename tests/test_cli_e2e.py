@@ -183,6 +183,61 @@ def test_no_reload_backup_does_not_collide(blender_dir, tmp_path):
     assert len(baks) == 2, baks
 
 
+def test_train_then_serve_from_run_dir(blender_dir, tmp_path):
+    """The round trip the run snapshot exists for: train a micro-scene,
+    then serve it with `--run <dir>` — zero geometry flags — and check the
+    HTTP render pixel-matches a direct render_image call (VERDICT r2 #6)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import main as cli
+    from cvnerf_tpu.render.frames import render_image
+    from cvnerf_tpu.serve import NerfRenderer
+    from cvnerf_tpu.server import build_parser, make_server, \
+        renderer_from_args
+
+    logdir = str(tmp_path / "logs_serve")
+    cli.main(["--data_dir", blender_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "srv", *TINY_FLAGS,
+              "--iters", "8", "--ckpt_freq", "5", "--val_freq", "0"])
+    run_dir = os.path.join(logdir, "srv")
+    assert os.path.exists(os.path.join(run_dir, "scene.json"))
+
+    # The serve CLI path, end to end (parser → renderer → HTTP server).
+    args = build_parser().parse_args(["--run", run_dir, "--chunk", "256"])
+    r = renderer_from_args(args)
+    srv = make_server(r, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from cvnerf_tpu.data import load_scene
+        scene = load_scene(blender_dir, "blender", half_res=False,
+                           testskip=1, white_bkg=True)
+        pose = np.asarray(scene.poses[0])[:3, :4]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/render",
+            data=_json.dumps({"c2w": pose.tolist(),
+                              "format": "json"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = _json.loads(resp.read())
+        served = np.asarray(body["rgb"], np.float32)
+
+        # Direct render with the renderer's own (snapshot-loaded) config.
+        out = render_image(jax.random.PRNGKey(0), r.params, r.height,
+                           r.width, r.focal, jnp.asarray(pose), r.near,
+                           r.far, r.cfg, ndc=r.ndc,
+                           ndc_variant=r.ndc_variant, chunk=r.chunk)
+        direct = np.asarray(out["rgb"])
+        assert served.shape == direct.shape == (scene.height, scene.width, 3)
+        np.testing.assert_allclose(served, direct, atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
 def test_empty_val_split_skips_val_metric(tmp_path):
     """A scene with zero val views must not log a train view as val_psnr."""
     from fixtures import make_blender_dataset

@@ -168,6 +168,116 @@ def test_include_depth_must_be_boolean(server_url):
     assert "boolean" in json.loads(ei.value.read())["error"]
 
 
+def test_factor_out_of_range_is_400(server_url):
+    for bad in (-1, 999):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server_url + "/render",
+                  {"c2w": POSE, "factor": bad, "format": "json"})
+        assert ei.value.code == 400, bad
+        assert "factor" in json.loads(ei.value.read())["error"]
+
+
+def test_oversized_request_is_413(server_url):
+    """The body size cap rejects before buffering (advisor r2: an
+    unbounded Content-Length read can exhaust host memory)."""
+    import http.client
+    host, port = server_url.split("//")[1].split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/render")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(2 << 20))  # 2 MiB claim
+        conn.endheaders()
+        resp = conn.getresponse()          # rejected before the body reads
+        assert resp.status == 413
+        assert "limit" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_render_failure_is_500_json(server_url):
+    """An unexpected error inside the render call must yield a JSON 500,
+    not a dropped connection (advisor r2: the exception escaped the
+    handler thread)."""
+    import urllib.parse
+    import cvnerf_tpu.serve as serve_mod
+
+    orig = serve_mod.NerfRenderer.render_pose_extras
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected render failure")
+
+    serve_mod.NerfRenderer.render_pose_extras = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server_url + "/render", {"c2w": POSE, "format": "json"})
+        assert ei.value.code == 500
+        assert "injected render failure" in \
+            json.loads(ei.value.read())["error"]
+    finally:
+        serve_mod.NerfRenderer.render_pose_extras = orig
+
+
+def _make_run_dir(tmp_path, *, ndc=False):
+    """A minimal training-run directory: scene.json + checkpoints/."""
+    from cvnerf_tpu.serve import write_scene_snapshot
+    run = str(tmp_path / "run")
+    state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
+    params = state.params
+    for net in ("coarse", "fine"):
+        params[net]["alpha"]["b"] = params[net]["alpha"]["b"] + 1.0
+    import os
+    save_checkpoint(os.path.join(run, "checkpoints"),
+                    TrainState(params=params, opt_state=state.opt_state,
+                               step=state.step + 3))
+    write_scene_snapshot(run, height=12, width=16, focal=14.0, near=2.0,
+                         far=6.0, ndc=ndc, ndc_variant="canonical",
+                         white_bkg=True, n_coarse=4, n_fine=4, bf16=False,
+                         mlp=TINY)
+    return run
+
+
+def test_from_run_dir_matches_explicit_geometry(tmp_path):
+    """NerfRenderer.from_run_dir reproduces exactly what an explicitly
+    configured renderer produces — the snapshot carries the full render
+    configuration, not just a subset."""
+    import os
+    run = _make_run_dir(tmp_path)
+    ra = NerfRenderer.from_run_dir(run, chunk=128, use_mesh=False)
+    rb = NerfRenderer(os.path.join(run, "checkpoints"), height=12, width=16,
+                      focal=14.0, near=2.0, far=6.0,
+                      cfg=RenderConfig(n_coarse=4, n_fine=4, white_bkg=True,
+                                       mlp=TINY),
+                      chunk=128, use_mesh=False)
+    assert (ra.height, ra.width, ra.focal) == (12, 16, 14.0)
+    assert (ra.near, ra.far, ra.ndc) == (2.0, 6.0, False)
+    assert ra.step == rb.step == 3
+    a = ra.render_pose(np.asarray(POSE))
+    b = rb.render_pose(np.asarray(POSE))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_from_run_dir_not_a_run(tmp_path):
+    with pytest.raises(FileNotFoundError, match="scene.json"):
+        NerfRenderer.from_run_dir(str(tmp_path / "nope"))
+
+
+def test_cli_run_flag_rejects_geometry_overrides(tmp_path):
+    """--run + hand-typed geometry is the exact failure mode run-dir
+    serving exists to prevent; the CLI refuses the combination."""
+    from cvnerf_tpu.server import build_parser, renderer_from_args
+    args = build_parser().parse_args(["--run", "x", "--focal", "5"])
+    with pytest.raises(SystemExit, match="--focal"):
+        renderer_from_args(args)
+
+
+def test_cli_without_run_requires_geometry():
+    from cvnerf_tpu.server import build_parser, renderer_from_args
+    args = build_parser().parse_args(["--ckpt", "x", "--height", "4"])
+    with pytest.raises(SystemExit, match="--width"):
+        renderer_from_args(args)
+
+
 def test_server_cli_exposes_ndc_flags():
     """Forward-facing (fern/skull) checkpoints need the NDC warp at serve
     time; the CLI must be able to express it (previously unreachable)."""
