@@ -259,7 +259,7 @@ def main(argv=None):
         lr_decay=args.lr_decay, precrop_iters=args.precrop_iters,
         precrop_frac=args.precrop_frac, ndc=scene.ndc,
         ndc_variant=args.ndc_variant, pixel_sampling=args.pixel_sampling,
-        render=rcfg_train)
+        noise_decay=args.noise_decay, render=rcfg_train)
     trainer = Trainer(tcfg, state, scene.images, scene.poses,
                       scene.train_idx, seed=args.seed, mesh=mesh,
                       steps_per_call=args.steps_per_call)
@@ -269,9 +269,10 @@ def main(argv=None):
     lr_sched = make_lr_schedule(args.lr, args.lr_decay)
 
     def log_cb(i, tr, m):
+        extra = {k: m[k] for k in ("grad_norm",) if m.get(k) is not None}
         logger.log(i, loss=m["loss"], psnr=m["psnr"],
                    rays_per_sec=m["rays_per_sec"],
-                   lr=float(lr_sched(i)))
+                   lr=float(lr_sched(i)), **extra)
 
     # One persistent manager for the whole run; saves are asynchronous so
     # checkpoint I/O overlaps the following train steps.

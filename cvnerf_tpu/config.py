@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_fine_samples", type=int, default=0)
     p.add_argument("--perturb", type=float, default=1.0)
     p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--noise_decay", type=int, default=0,
+                   help="anneal the density-noise std linearly to zero by "
+                        "this step (0 = constant noise for the whole run, "
+                        "the reference's behavior). The regularizer is "
+                        "needed early to escape dead-ReLU densities but "
+                        "keeps perturbing converged geometry late on "
+                        "sparse 360-degree captures")
 
     p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)

@@ -345,8 +345,12 @@ def fused_nerf_apply(params: dict,
         ``[n, 4]`` raw (rgb, sigma), float32.
     """
     # Cap the tile so the full-size model stays under the 16 MB scoped-VMEM
-    # limit (fp32 activations double the working set).
-    tile = min(tile, 2048 if compute_dtype == jnp.float32 else 4096)
+    # limit (fp32 activations double the working set). The fp32 cap is
+    # measured on a real v5e: tile 2048 allocates 20.45 MB scoped VMEM
+    # (OOM), 1536 fits at ~15.3 MB (too close for config headroom), 1024
+    # fits comfortably — the CPU interpreter enforces no VMEM limit, so
+    # only an on-chip compile validates these.
+    tile = min(tile, 1024 if compute_dtype == jnp.float32 else 4096)
     if tile % 128 != 0:
         raise ValueError(f"tile={tile} must be a multiple of 128 (lanes)")
     for name, width in (("trunk_width", cfg.trunk_width),

@@ -156,9 +156,11 @@ def _bwd_pallas(params, points, viewdirs, g, cfg: NerfMLPConfig,
     """Run the backward kernel; returns grads in kernel (packed) layout."""
     # The backward working set (weights + all recomputed activations + two
     # dgrad buffers + fp32 grad accumulators) is ~3x the forward's; cap the
-    # tile to fit the 16 MB scoped-VMEM limit.
+    # tile to fit the 16 MB scoped-VMEM limit. fp32 caps are measured on a
+    # real v5e (the CPU interpreter enforces no VMEM limit): tile 512
+    # allocates 26.11 MB scoped VMEM (OOM), 256 fits.
     if compute_dtype == jnp.float32:
-        tile = min(tile, 512)
+        tile = min(tile, 256)
     else:
         tile = min(tile, 1024)
     n = points.shape[0]

@@ -134,7 +134,8 @@ def render_rays(key: jax.Array,
                 near: jnp.ndarray,
                 far: jnp.ndarray,
                 cfg: RenderConfig,
-                ray_ids: jnp.ndarray | None = None) -> dict:
+                ray_ids: jnp.ndarray | None = None,
+                noise_scale: jnp.ndarray | float = 1.0) -> dict:
     """Hierarchical volume render of a ray batch.
 
     Args:
@@ -150,6 +151,10 @@ def render_rays(key: jax.Array,
         ray_ids: ``[n_rays]`` global ray indices for RNG keying (defaults to
             ``arange``); pass the *global* position when calling from a
             shard or chunk so randomness is partition-invariant.
+        noise_scale: traced multiplier on the density-noise std (the
+            trainer's ``--noise_decay`` annealing; 1.0 = the reference's
+            constant-noise behavior, main.py:186-191). Only meaningful when
+            ``cfg.noise_std > 0``.
     Returns:
         dict with ``rgb`` (fine map), ``rgb_coarse``, plus the fine pass's
         ``acc`` (accumulated opacity) and ``depth`` (expected termination
@@ -166,7 +171,7 @@ def render_rays(key: jax.Array,
                                   cfg.perturb, u=u_strat)
     points = rays_o[..., None, :] + rays_d[..., None, :] * t_coarse[..., :, None]
     raw = _query_mlp(params["coarse"], points, viewdirs, cfg)
-    noise_c = (_per_ray_normal(key, 3, ray_ids, cfg.n_coarse)
+    noise_c = (_per_ray_normal(key, 3, ray_ids, cfg.n_coarse) * noise_scale
                if cfg.noise_std > 0 else None)
     coarse = volume_render(raw, t_coarse, rays_d,
                            noise_std=cfg.noise_std,
@@ -203,7 +208,7 @@ def render_rays(key: jax.Array,
 
     points = rays_o[..., None, :] + rays_d[..., None, :] * t_fine[..., :, None]
     raw = _query_mlp(params["fine"], points, viewdirs, cfg)
-    noise_f = (_per_ray_normal(key, 4, ray_ids, t_fine.shape[-1])
+    noise_f = (_per_ray_normal(key, 4, ray_ids, t_fine.shape[-1]) * noise_scale
                if cfg.noise_std > 0 else None)
     fine = volume_render(raw, t_fine, rays_d,
                          noise_std=cfg.noise_std,

@@ -18,6 +18,16 @@ canonical regression scenes:
 * ``llff_360`` — rings of inward-facing cameras around a checker sphere:
   the ``--spherify`` non-NDC workload (the reference parses the flag but
   ignores it).
+* ``sphere_hi`` — a band-limited (smooth normals-textured) sphere at
+  200x200 with 40 train views: unlike ``checker`` (whose ~22.8 dB test
+  ceiling is the fixture's aliasing limit, not model quality), this scene
+  is learnable to high PSNR, so subtle math defects shift the score by
+  many dB instead of hiding inside the band margin (VERDICT r2 weak #2).
+
+Sensitivity: ``--defect`` injects a known fault (``n_fine0``,
+``ndc_reference``, ``kernel_perturb``) so the band's ability to FAIL is
+itself demonstrated — see ``results/sensitivity.json`` written by
+``--record_sensitivity``.
 
 Usage:
     python scripts/quality_run.py                     # checker, 50k (band)
@@ -60,6 +70,20 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
                          "seeded fixture (tests/fixtures.py)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
+    elif scene == "sphere_hi":
+        # Band-limited content the model can actually fit: smooth
+        # normal-shaded sphere, dense view coverage, 200x200. Defect-
+        # sensitive by construction — measured headroom above the band is
+        # model quality, not fixture aliasing.
+        data_dir = os.path.join(workdir, "sphere_hi")
+        make_blender_dataset(data_dir, n_train=40, n_val=2, n_test=4,
+                             h=200, w=200, texture="normals")
+        flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
+                 "--precrop_iters", "500", "--precrop_frac", "0.5"]
+        info = {"scene": "normals-shaded sphere (band-limited), 40 train "
+                         "views, 200x200, seeded fixture (tests/fixtures.py)",
+                "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
+                          "500/0.5, lr 5e-4/decay 500, seed 0"}
     elif scene == "llff_360":
         data_dir = os.path.join(workdir, "s360")
         from fixtures import make_llff_360_dataset
@@ -93,11 +117,45 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
     return data_dir, flags, info
 
 
+def _inject_defect(defect: str) -> list[str]:
+    """Install a known fault; returns extra CLI flags for it.
+
+    These exist to prove the bands can FAIL (VERDICT r2 weak #2): a band
+    that has never caught anything is untested safety equipment.
+    """
+    if defect == "n_fine0":
+        # Broken/disabled hierarchical resampling: the fine net re-runs on
+        # the 64 coarse depths only (reference's own n_fine=0 shape,
+        # SURVEY.md §2.3-4).
+        return ["--n_fine_samples", "0"]
+    if defect == "ndc_reference":
+        # The reference's deviant NDC origin shift (o + t*o,
+        # data_helpers.py:330) instead of the canonical o + t*d.
+        return ["--ndc_variant", "reference"]
+    if defect == "kernel_perturb":
+        # Subtle kernel-numerics drift: every MLP query's raw outputs get a
+        # small deterministic bias/scale (≈ what a wrong accumulator dtype
+        # or a misaligned weight column produces). Patched at the module
+        # level so both train and eval render through the fault.
+        import jax.numpy as jnp
+        import cvnerf_tpu.render.renderer as renderer_mod
+        orig = renderer_mod._query_mlp
+
+        def perturbed(params, points, viewdirs, cfg):
+            raw = orig(params, points, viewdirs, cfg)
+            return raw + jnp.asarray([0.02, -0.02, 0.02, 0.05], raw.dtype) \
+                * (1.0 + 0.05 * jnp.abs(raw))
+        renderer_mod._query_mlp = perturbed
+        return []
+    raise SystemExit(f"unknown defect {defect!r}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50000)
     ap.add_argument("--scene", default="checker",
-                    choices=["checker", "llff_plane", "llff_360"])
+                    choices=["checker", "llff_plane", "llff_360",
+                             "sphere_hi"])
     ap.add_argument("--pin", action="store_true",
                     help="write measured-1.0 dB as the new lower band")
     ap.add_argument("--keep_artifacts", action="store_true",
@@ -111,20 +169,33 @@ def main():
                     help="NDC formula (llff_plane only): 'reference' "
                          "exercises the reference's deviant origin shift "
                          "(SURVEY.md §2.3-3) against the canonical band")
+    ap.add_argument("--fp32", action="store_true",
+                    help="train in fp32 instead of the production bf16 "
+                         "(the bf16-vs-fp32 quality pin, VERDICT r2 #3)")
+    ap.add_argument("--defect", default=None,
+                    choices=["n_fine0", "ndc_reference", "kernel_perturb"],
+                    help="inject a known fault and check the band CATCHES "
+                         "it (run must land BELOW the band to pass)")
+    ap.add_argument("--record_sensitivity", action="store_true",
+                    help="append the defect outcome to "
+                         "results/sensitivity.json")
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="quality_run_")
     data_dir, scene_flags, info = _make_scene(args.scene, workdir)
+    defect_flags = _inject_defect(args.defect) if args.defect else []
 
     import main as cli
-    run_name = f"{args.scene}{args.iters}"
+    run_name = f"{args.scene}{args.iters}" + ("_fp32" if args.fp32 else "")
     cli.main([
         "--data_dir", data_dir, "--name", run_name,
         "--base_dir", os.path.join(workdir, "logs"),
         "--save_dir", os.path.join(workdir, "logs"),
         "--n_rays", "1024", "--n_coarse_samples", "64",
         "--n_fine_samples", "128", "--lr", "5e-4", "--lr_decay", "500",
-        "--bf16", "--ndc_variant", args.ndc_variant, *scene_flags,
+        "--no-bf16" if args.fp32 else "--bf16",
+        "--ndc_variant", args.ndc_variant, *scene_flags,
+        *defect_flags,
         "--iters", str(args.iters),
         "--vid_freq", str(args.vid_freq),
         "--ckpt_freq", str(args.iters // 4 if args.vid_freq else 0),
@@ -141,6 +212,8 @@ def main():
            else args.scene) + f"_{args.iters}"
 
     bands = json.load(open(BANDS)) if os.path.exists(BANDS) else {}
+    if args.pin and args.defect:
+        raise SystemExit("--pin with --defect would enshrine a faulty run")
     if args.pin:
         bands[key] = {
             "min_test_psnr_db": round(psnr - 1.0, 2),
@@ -165,6 +238,32 @@ def main():
         print(f"NO BAND for {key}; measured {psnr:.2f} dB (use --pin)")
         return
     lo = band["min_test_psnr_db"]
+
+    if args.defect:
+        # Sensitivity check: the run is EXPECTED to land below the band.
+        caught = psnr < lo
+        drop = band["measured_db"] - psnr
+        verdict = "CAUGHT" if caught else "MISSED"
+        print(f"{verdict} defect {args.defect} on {key}: {psnr:.2f} dB "
+              f"(baseline {band['measured_db']} dB, drop {drop:.2f} dB, "
+              f"band >= {lo} dB)")
+        if args.record_sensitivity:
+            spath = os.path.join(REPO, "results", "sensitivity.json")
+            table = json.load(open(spath)) if os.path.exists(spath) else {}
+            table[f"{key}__{args.defect}"] = {
+                "defect": args.defect, "band_key": key,
+                "baseline_db": band["measured_db"],
+                "measured_db": round(psnr, 2),
+                "drop_db": round(drop, 2),
+                "band_min_db": lo,
+                "verdict": verdict,
+            }
+            json.dump(table, open(spath, "w"), indent=2, sort_keys=True)
+            print(f"recorded to {spath}")
+        if not caught:
+            sys.exit(1)   # the band failed to catch a known defect
+        return
+
     status = "PASS" if psnr >= lo else "FAIL"
     print(f"{status} {key}: test PSNR {psnr:.2f} dB vs band >= {lo} dB")
     if psnr < lo:

@@ -64,6 +64,73 @@ def test_n_fine_zero_runs_fine_net_on_coarse_depths():
                            np.asarray(out["rgb_coarse"]))
 
 
+def test_noise_scale_zero_equals_no_noise():
+    """noise_scale=0 (the --noise_decay annealing endpoint) must reproduce
+    a noise_std=0 render exactly — same sample stream, just zeroed noise."""
+    import dataclasses
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    noisy = dataclasses.replace(cfg, noise_std=1.0)
+    key = jax.random.PRNGKey(5)
+    a = render_rays(key, params, ro, rd, vd, near, far, noisy,
+                    noise_scale=0.0)
+    b = render_rays(key, params, ro, rd, vd, near, far, cfg)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
+def test_noise_scale_scales_noise():
+    """Intermediate noise_scale interpolates: smaller scale → output closer
+    to the noise-free render."""
+    import dataclasses
+    cfg, params, ro, rd, vd, near, far = _tiny_setup()
+    noisy = dataclasses.replace(cfg, noise_std=1.0)
+    key = jax.random.PRNGKey(5)
+    clean = np.asarray(render_rays(key, params, ro, rd, vd, near, far,
+                                   cfg)["rgb"])
+    full = np.asarray(render_rays(key, params, ro, rd, vd, near, far,
+                                  noisy)["rgb"])
+    half = np.asarray(render_rays(key, params, ro, rd, vd, near, far, noisy,
+                                  noise_scale=0.25)["rgb"])
+    assert np.abs(half - clean).sum() < np.abs(full - clean).sum()
+    assert np.abs(half - clean).sum() > 0
+
+
+def test_train_step_noise_decay_reaches_noise_free():
+    """A TrainConfig with noise_decay: once step >= noise_decay the step is
+    bitwise identical to a noise_std=0 config's step."""
+    import dataclasses
+    from cvnerf_tpu.train.loop import TrainConfig, make_train_step
+    from cvnerf_tpu.train.state import TrainState, create_train_state
+    mlp = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=64,
+                        head_width=32)
+    base = TrainConfig(height=16, width=16, focal=16.0, near=2.0, far=6.0,
+                       n_rays=32, noise_decay=5,
+                       render=RenderConfig(n_coarse=8, n_fine=8,
+                                           perturb=True, noise_std=1.0,
+                                           mlp=mlp))
+    clean = dataclasses.replace(
+        base, noise_decay=0,
+        render=dataclasses.replace(base.render, noise_std=0.0))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 16, 16, 3), jnp.float32)
+    poses = jnp.asarray(np.array([[[1, 0, 0, 0], [0, 1, 0, 0],
+                                   [0, 0, 1, 4.0]]], np.float32))
+    idx = jnp.arange(1, dtype=jnp.int32)
+
+    def one(cfg):
+        st = create_train_state(jax.random.PRNGKey(0), mlp=mlp)
+        st = TrainState(params=st.params, opt_state=st.opt_state,
+                        step=jnp.int32(7))   # past noise_decay=5
+        st2, m = make_train_step(cfg)(st, jax.random.PRNGKey(3), images,
+                                      poses, idx, False)
+        return st2, m
+
+    s_a, m_a = one(base)
+    s_b, m_b = one(clean)
+    assert float(m_a["loss"]) == float(m_b["loss"])
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eval_mode_strips_stochasticity():
     cfg = RenderConfig(perturb=True, noise_std=1.0)
     ev = cfg.eval_mode()
