@@ -278,6 +278,14 @@ def main(argv=None):
     # checkpoint I/O overlaps the following train steps.
     ckpt_writer = Checkpointer(ckpt_dir)
 
+    # Best-validation model selection (--track_best): on sparse captures
+    # the held-out quality can peak mid-run (measured on the 360° band:
+    # val peaks by ~5-15k of a 50k run while train PSNR keeps climbing) —
+    # the deployable model is the best-val checkpoint, not the last step.
+    best = {"psnr": float("-inf"), "step": None}
+    best_writer = (Checkpointer(ckpt_dir + "_best")
+                   if args.track_best and args.val_freq > 0 else None)
+
     def ckpt_cb(i, tr, m):
         ckpt_writer.save(tr.state)
         print(f"Checkpoint save enqueued at step {i}")
@@ -305,6 +313,11 @@ def main(argv=None):
             return
         logger.log(i, val_psnr=v, val_ssim=s, val_views=len(val_views))
         logger.log_image(i, "val_render", rgb)
+        if best_writer is not None and v > best["psnr"]:
+            best.update(psnr=v, step=i)
+            best_writer.save(tr.state)
+            print(f"New best val PSNR {v:.3f} at step {i} "
+                  f"(checkpointed to {ckpt_dir}_best)")
 
     trainer.add_callback(args.print_freq, log_cb)
     if args.ckpt_freq > 0:
@@ -330,13 +343,13 @@ def main(argv=None):
     ckpt_writer.close()
     logger.log(int(trainer.state.step), **final)
 
-    # Final held-out evaluation (the reference computes no quantitative
-    # eval at all — SURVEY.md §4; this is the PSNR-parity evidence).
-    if len(scene.test_idx):
+    def test_eval(params):
+        """Held-out test PSNR/SSIM (the reference computes no quantitative
+        eval at all — SURVEY.md §4; this is the PSNR-parity evidence)."""
         from cvnerf_tpu.render.frames import render_image as _ri
         psnrs, ssims = [], []
         for i in np.asarray(scene.test_idx)[:8]:
-            out = _ri(jax.random.PRNGKey(7), trainer.state.params,
+            out = _ri(jax.random.PRNGKey(7), params,
                       scene.height, scene.width, scene.focal,
                       jnp.asarray(scene.poses[int(i)]), scene.near,
                       scene.far, rcfg_test, ndc=scene.ndc,
@@ -345,10 +358,31 @@ def main(argv=None):
             rgb = np.asarray(out["rgb"])
             psnrs.append(psnr_images(rgb, scene.images[int(i)]))
             ssims.append(ssim_images(rgb, scene.images[int(i)]))
-        logger.log(int(trainer.state.step),
-                   test_psnr=float(np.mean(psnrs)),
-                   test_ssim=float(np.mean(ssims)),
-                   test_views=len(psnrs))
+        return float(np.mean(psnrs)), float(np.mean(ssims)), len(psnrs)
+
+    if len(scene.test_idx):
+        p, s, n = test_eval(trainer.state.params)
+        logger.log(int(trainer.state.step), test_psnr=p, test_ssim=s,
+                   test_views=n)
+        if best_writer is not None and best["step"] is not None:
+            # Score the deployable (best-val) model too.
+            best_writer.close()      # waits for in-flight async saves
+            restored = restore_checkpoint(ckpt_dir + "_best", state)
+            if restored is not None:
+                params_best = restored.params
+                if n_dev > 1:
+                    from cvnerf_tpu.parallel.mesh import replicate_to_mesh
+                    params_best = replicate_to_mesh(params_best, mesh)
+                pb, sb, nb = test_eval(params_best)
+                logger.log(int(trainer.state.step), test_psnr_best=pb,
+                           test_ssim_best=sb,
+                           best_step=int(best["step"]),
+                           best_val_psnr=best["psnr"])
+                print(f"Best-val model (step {best['step']}): "
+                      f"test_psnr={pb:.3f} test_ssim={sb:.4f} "
+                      f"(final-step model: {p:.3f}/{s:.4f})")
+    elif best_writer is not None:
+        best_writer.close()
     logger.close()
     print("Training complete:", final)
 

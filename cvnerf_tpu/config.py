@@ -99,14 +99,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=100000,
                    help="training iterations (reference hardcodes 100000)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=False,
-                   help="bfloat16 MLP matmuls with fp32 accumulation")
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
+                   help="bfloat16 MLP matmuls with fp32 accumulation "
+                        "(default ON: measured 5.17x train throughput over "
+                        "fp32 on v5e at a 0.74 dB equal-step cost — at "
+                        "equal wall-clock bf16 is strictly better, and "
+                        "every pinned quality band runs bf16; "
+                        "--no-bf16 restores the reference's fp32 numerics)")
     p.add_argument("--ndc_variant", type=str, default="canonical",
                    choices=["canonical", "reference"],
                    help="NDC origin-shift formula (see SURVEY.md §2.3-3)")
     p.add_argument("--ckpt_freq", type=int, default=2500,
                    help="checkpoint cadence (the reference team's "
                         "historical cadence)")
+    p.add_argument("--track_best", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="save a separate best-validation checkpoint "
+                        "(checkpoints_best/) and report held-out test "
+                        "metrics at it alongside the final step — standard "
+                        "model selection for sparse captures whose val "
+                        "quality peaks before the end of training")
     p.add_argument("--val_freq", type=int, default=2500,
                    help="validation-PSNR cadence (0 disables)")
     p.add_argument("--deterministic_resample", action=argparse.BooleanOptionalAction, default=False,
@@ -160,7 +172,8 @@ def build_parser() -> argparse.ArgumentParser:
 # broke the "CLI overrides config file" contract).
 _BOOL_FLAGS = {"no_reload", "render_only", "render_test", "white_bkg",
                "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
-               "deterministic_resample", "sorted_resample", "render_depth"}
+               "deterministic_resample", "sorted_resample", "render_depth",
+               "track_best"}
 
 
 def _config_file_to_argv(path: str) -> list[str]:

@@ -94,13 +94,23 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         # ring of views collapses into per-camera floaters (a 14-view
         # noise-0 variant measured 12.7 dB test with val stuck at the
         # all-background 11.07 dB).
+        # noise_decay + track_best: measured on-chip (round 3) — constant
+        # noise 1.0 for 50k steps costs 0.87 dB vs annealing it to zero by
+        # 25k (17.95 vs 18.82 test), and held-out quality on this sparse
+        # 27-train-view 360° capture peaks mid-run (train 34 dB vs val
+        # 15-18 dB by 50k: overfitting, not noise, is the long-horizon
+        # limiter), so the band scores the best-validation checkpoint —
+        # the model a user would deploy.
         flags = ["--dtype", "llff", "--factor", "1", "--llffhold", "10",
-                 "--spherify", "--no_ndc", "--noise", "1.0"]
+                 "--spherify", "--no_ndc", "--noise", "1.0",
+                 "--noise_decay", "25000", "--track_best"]
         info = {"scene": "360-degree inward rings of 30 cameras around a "
                          "checker sphere (3 elevations), 100x100 LLFF, spherified "
                          "(tests/fixtures.py::make_llff_360_dataset)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, "
-                          "spherify+no_ndc, noise 1.0, lr 5e-4/decay 500, seed 0"}
+                          "spherify+no_ndc, noise 1.0 annealed to 0 by 25k, "
+                          "best-val checkpoint selection, lr 5e-4/decay 500, "
+                          "seed 0"}
     elif scene == "llff_plane":
         data_dir = os.path.join(workdir, "plane")
         make_llff_dataset(data_dir, n=12, h=96, w=128, focal=120.0)
@@ -231,13 +241,23 @@ def main():
         "--iters", str(args.iters),
         "--vid_freq", str(args.vid_freq),
         "--ckpt_freq", str(args.iters // 4 if args.vid_freq else 0),
-        "--val_freq", str(max(args.iters // 10, 1)),
+        # llff_360 uses a fixed fine val cadence at every horizon: its
+        # held-out quality peaks by ~2-3k steps (sparse-capture overfit,
+        # see the scene comment), and best-val selection can only pick
+        # from the steps it scores — an iters-relative cadence would make
+        # the 50k run skip the very peak the 3k run samples.
+        "--val_freq", ("300" if args.scene == "llff_360"
+                       else str(max(args.iters // 10, 1))),
         "--print_freq", "500", "--seed", "0",
     ])
 
     metrics_path = os.path.join(workdir, "logs", run_name, "metrics.jsonl")
     records = [json.loads(l) for l in open(metrics_path)]
-    test = [r["test_psnr"] for r in records if "test_psnr" in r]
+    # Score the deployable model: with --track_best the run also reports
+    # test metrics at the best-validation checkpoint (test_psnr_best) —
+    # that is what a user serves, so that is what the band pins.
+    test = [r["test_psnr_best"] if "test_psnr_best" in r else r["test_psnr"]
+            for r in records if "test_psnr" in r or "test_psnr_best" in r]
     assert test, "no test_psnr in metrics stream"
     psnr = float(test[-1])
     key = ("checker_sphere" if args.scene == "checker"

@@ -63,6 +63,14 @@ def test_repo_configs_parse():
         assert args.n_fine_samples == 128
 
 
+def test_bf16_defaults_on():
+    """Production default: bf16 matmuls (measured 5.17x over fp32 on v5e
+    at <1 dB equal-step cost — BASELINE.md); --no-bf16 restores the
+    reference's fp32 numerics."""
+    assert parse_args([]).bf16 is True
+    assert parse_args(["--no-bf16"]).bf16 is False
+
+
 def test_sorted_resample_flag():
     """The sorted-resample deviation is CLI-gated (CLAUDE.md: deviations
     behind flags): default on, --no-sorted_resample restores the
@@ -90,6 +98,11 @@ def test_snapshot_config(tmp_path):
 # ---------- end-to-end train/resume/render ----------
 
 TINY_FLAGS = [
+    # --no-bf16: these micro-runs execute on the CPU test mesh, where
+    # bf16 matmuls (the production TPU default) are emulated and slow;
+    # the bf16 default itself is covered by test_bf16_defaults_on and the
+    # on-chip quality bands.
+    "--no-bf16",
     "--dtype", "blender", "--white_bkg", "--testskip", "1",
     "--n_rays", "64", "--n_coarse_samples", "8", "--n_fine_samples", "8",
     "--trunk_width", "32", "--head_width", "16",
@@ -236,6 +249,26 @@ def test_train_then_serve_from_run_dir(blender_dir, tmp_path):
         np.testing.assert_allclose(served, direct, atol=1e-5)
     finally:
         srv.shutdown()
+
+
+def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path):
+    """--track_best keeps a best-validation checkpoint and reports test
+    metrics at it (model selection for runs whose val quality peaks
+    mid-run — the spherify long-horizon finding, ROADMAP round 3)."""
+    import main as cli
+    logdir = str(tmp_path / "logs_best")
+    cli.main(["--data_dir", blender_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "tb", *TINY_FLAGS,
+              "--iters", "11", "--ckpt_freq", "0", "--val_freq", "5",
+              "--track_best"])
+    run_dir = os.path.join(logdir, "tb")
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints_best"))
+    recs = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    best = [r for r in recs if "test_psnr_best" in r]
+    assert best, recs
+    assert best[-1]["best_step"] in (5, 10)
+    assert "best_val_psnr" in best[-1] and "test_ssim_best" in best[-1]
 
 
 def test_empty_val_split_skips_val_metric(tmp_path):

@@ -9,6 +9,7 @@ import pytest
 from fixtures import make_llff_dataset
 
 TINY_FLAGS = [
+    "--no-bf16",   # CPU test mesh: emulated bf16 is slow (see test_cli_e2e)
     "--dtype", "llff", "--factor", "1", "--llffhold", "4",
     "--n_rays", "64", "--n_coarse_samples", "8", "--n_fine_samples", "8",
     "--trunk_width", "32", "--head_width", "16",
