@@ -1,0 +1,192 @@
+"""Import reference (PyTorch) NeRF checkpoints into cvnerf_tpu.
+
+The reference's checkpointing never made it into its committed code (its
+``.MISSING_LARGE_BLOBS`` lists ``results/lego/*.pt`` every 2,500 steps —
+SURVEY.md §0), but users of the reference architecture hold torch
+checkpoints of the exact ``Model`` layer graph (reference model.py:51-107):
+``nn.Linear`` layers named ``l1``..``l11`` plus ``l_alpha``. This module
+maps such a ``state_dict`` onto our functional parameter pytree so a
+reference-trained model can be served/fine-tuned here without retraining.
+
+Accepted torch checkpoint layouts (auto-detected):
+  * a bare ``state_dict`` of one network;
+  * a dict with two networks under any of the common key pairs
+    (``coarse``/``fine``, ``model``/``model_fine``, ``network_fn``/
+    ``network_fine`` ...), each either a state_dict or a nested
+    ``{"state_dict": ...}``;
+  * a dict with a single network under one of those keys (fine = coarse).
+
+Architecture (widths, encoding L) is inferred from the weight shapes, so
+non-default ``--trunk_width``-style variants import too.
+
+CLI:
+    cvnerf-import reference.pt logs/imported
+    cvnerf-serve --ckpt logs/imported/checkpoints --height ... (or build a
+    scene.json next to it and use --run)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+
+# our layer name -> reference nn.Module attribute (reference model.py:57-71)
+_NAME_MAP = {
+    "l1": "l1", "l2": "l2", "l3": "l3", "l4": "l4", "l5": "l5",
+    "l6": "l6", "l7": "l7", "l8": "l8", "l9": "l9",
+    "alpha": "l_alpha", "l10": "l10", "l11": "l11",
+}
+
+# (coarse, fine) key pairs seen in the wild for two-net NeRF checkpoints.
+_NET_KEY_PAIRS = [
+    ("coarse", "fine"),
+    ("model", "model_fine"),
+    ("network_fn", "network_fine"),
+    ("network_fn_state_dict", "network_fine_state_dict"),
+    ("coarse_model", "fine_model"),
+]
+
+
+def _as_state_dict(obj) -> dict | None:
+    """Normalize a candidate network entry to a flat state_dict."""
+    if obj is None:
+        return None
+    if hasattr(obj, "state_dict"):          # a live nn.Module
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and any(k.endswith(".weight") for k in obj):
+        return obj
+    return None
+
+
+def params_from_torch_state_dict(sd: dict) -> tuple[dict, NerfMLPConfig]:
+    """One reference-``Model`` state_dict → (params pytree, inferred cfg).
+
+    torch ``nn.Linear`` stores ``weight`` as ``[out, in]``; our pytree is
+    ``{"w": [in, out], "b": [out]}`` — transposed here. The encoding sizes
+    fall out of the shapes: ``l1`` consumes the xyz encoding
+    (``3 + 6·L_xyz``), ``l10`` consumes ``trunk + (3 + 6·L_dir)``.
+    """
+    def arr(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                          else t, np.float32)
+
+    params = {}
+    for ours, theirs in _NAME_MAP.items():
+        try:
+            w = arr(sd[f"{theirs}.weight"])
+            b = arr(sd[f"{theirs}.bias"])
+        except KeyError as e:
+            raise KeyError(
+                f"state_dict is missing {e.args[0]!r} — not a reference "
+                f"Model checkpoint (expected Linear layers "
+                f"{sorted(set(_NAME_MAP.values()))})") from None
+        params[ours] = {"w": w.T.copy(), "b": b.copy()}
+
+    xyz_dim = params["l1"]["w"].shape[0]
+    trunk = params["l1"]["w"].shape[1]
+    head = params["l10"]["w"].shape[1]
+    dir_dim = params["l10"]["w"].shape[0] - trunk
+    for name, dim in (("xyz", xyz_dim), ("dir", dir_dim)):
+        if (dim - 3) % 6:
+            raise ValueError(
+                f"{name} encoding input dim {dim} is not 3 + 6*L — "
+                "not a frequency-encoded reference checkpoint")
+    cfg = NerfMLPConfig(xyz_freqs=(xyz_dim - 3) // 6,
+                        dir_freqs=(dir_dim - 3) // 6,
+                        trunk_width=trunk, head_width=head)
+    # Cross-check the remaining shapes against the inferred architecture.
+    expect = {
+        "l6": (trunk + xyz_dim, trunk),
+        "l9": (trunk, trunk),
+        "alpha": (trunk, 1),
+        "l11": (head, 3),
+    }
+    for name, shape in expect.items():
+        got = params[name]["w"].shape
+        if got != shape:
+            raise ValueError(
+                f"layer {name}: weight shape {got} != {shape} expected "
+                f"for the inferred architecture {cfg}")
+    return params, cfg
+
+
+def load_torch_checkpoint(path: str) -> tuple[dict, NerfMLPConfig]:
+    """A ``.pt`` file → ``{"coarse": ..., "fine": ...}`` params + cfg."""
+    import torch
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+
+    coarse = fine = None
+    if isinstance(blob, dict):
+        for ck, fk in _NET_KEY_PAIRS:
+            c = _as_state_dict(blob.get(ck))
+            if c is not None:
+                coarse, fine = c, _as_state_dict(blob.get(fk))
+                break
+    if coarse is None:
+        coarse = _as_state_dict(blob)
+    if coarse is None:
+        raise ValueError(
+            f"{path}: unrecognized checkpoint layout — expected a "
+            f"state_dict or a dict holding one under {_NET_KEY_PAIRS}")
+
+    params_c, cfg = params_from_torch_state_dict(coarse)
+    if fine is not None:
+        params_f, cfg_f = params_from_torch_state_dict(fine)
+        if cfg_f != cfg:
+            raise ValueError(
+                f"coarse/fine architectures disagree: {cfg} vs {cfg_f}")
+    else:
+        params_f = params_c   # single-net checkpoint: serve it as both
+    return {"coarse": params_c, "fine": params_f}, cfg
+
+
+def import_torch_checkpoint(path: str, out_dir: str,
+                            step: int = 0) -> NerfMLPConfig:
+    """Convert a torch checkpoint into an orbax run checkpoint.
+
+    Writes ``<out_dir>/checkpoints`` (params + fresh optimizer state at
+    ``step``) — loadable by ``NerfRenderer``, ``--ft_path``, and resume.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvnerf_tpu.train.checkpoint import save_checkpoint
+    from cvnerf_tpu.train.state import TrainState, create_train_state
+
+    params, cfg = load_torch_checkpoint(path)
+    template = create_train_state(jax.random.PRNGKey(0), mlp=cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    state = TrainState(params=params, opt_state=template.opt_state,
+                       step=jnp.int32(step))
+    save_checkpoint(os.path.join(out_dir, "checkpoints"), state)
+    return cfg
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Import a reference (PyTorch) NeRF checkpoint")
+    p.add_argument("torch_ckpt", help="path to the .pt file")
+    p.add_argument("out_dir", help="run directory to create (gets a "
+                                   "checkpoints/ subdir)")
+    p.add_argument("--step", type=int, default=0,
+                   help="step to stamp on the imported state (e.g. the "
+                        "reference's training iteration)")
+    args = p.parse_args(argv)
+    cfg = import_torch_checkpoint(args.torch_ckpt, args.out_dir,
+                                  step=args.step)
+    print(f"Imported {args.torch_ckpt} -> {args.out_dir}/checkpoints "
+          f"(architecture: {cfg})")
+    print("Serve with: cvnerf-serve --ckpt "
+          f"{args.out_dir}/checkpoints --height ... (or write a "
+          "scene.json into the run dir and use --run)")
+
+
+if __name__ == "__main__":
+    main()
