@@ -109,15 +109,21 @@ def main(argv=None):
         near=scene.near, far=scene.far, ndc=scene.ndc,
         ndc_variant=args.ndc_variant, white_bkg=args.white_bkg,
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
-        bf16=args.bf16, mlp=mlp)
+        bf16=args.bf16, mlp=mlp, sorted_resample=args.sorted_resample,
+        pallas=args.pallas)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
 
+    best_meta_path = os.path.join(run_dir, "best.json")
+
     def backup_stale_ckpts(reason: str) -> None:
         # Move the run dir's existing checkpoints aside so this run's
         # (lower-step) saves aren't shadowed at resume time — and don't
-        # crash mid-run when the async writer refuses a lower step.
+        # crash mid-run when the async writer refuses a lower step. The
+        # best-val checkpoint dir and its metadata move together with the
+        # main dir: a stale checkpoints_best would likewise refuse
+        # lower-step saves, and its score belongs to the backed-up run.
         if not (os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)):
             return
         base = f"{ckpt_dir}.bak-{latest_step(ckpt_dir)}"
@@ -126,6 +132,10 @@ def main(argv=None):
             backup = f"{base}.{k}"
             k += 1
         os.rename(ckpt_dir, backup)
+        for extra, dst in ((ckpt_dir + "_best", backup + "_best"),
+                           (best_meta_path, backup + ".best.json")):
+            if os.path.exists(extra):
+                os.rename(extra, dst)
         print(f"{reason}: moved existing checkpoints to {backup}")
 
     start = 0
@@ -189,28 +199,39 @@ def main(argv=None):
             print(f"Wrote video: {disp_path}")
         return frames
 
-    def _pick_val_views() -> np.ndarray:
-        """Held-out views scored as validation (≤4 for bounded eval cost).
+    def _split_heldout_views() -> tuple[np.ndarray, np.ndarray]:
+        """(val_views, test_views): ≤4 validation and ≤8 test views.
 
         When the dataset has no separate val split (LLFF: val_idx IS
-        test_idx, datasets.py), skip the first held-out view so the
-        periodic val metric and the final test metric (which always
-        includes test_idx[0]) don't overlap on the same image — a
-        model-selection signal must not double as the acceptance number.
+        test_idx, datasets.py): with ``--track_best`` the held-out set is
+        PARTITIONED — odd-position views validate, the rest test — so the
+        model-SELECTION signal and the acceptance number never share an
+        image (selecting the checkpoint on views test_eval also scores
+        would inflate test_psnr_best). Without selection, val is only a
+        monitoring signal, so it just skips test view 0 and the full
+        held-out set still tests. A single held-out view is the
+        unavoidable-overlap degenerate case.
         """
+        empty = np.zeros((0,), np.int64)
         vi = np.asarray(scene.val_idx)
         ti = np.asarray(scene.test_idx)
-        if len(vi) == 0:
-            vi = ti
-        if len(vi) == 0:
+        if len(vi) and (len(ti) == 0 or not np.array_equal(vi, ti)):
+            return vi[:4], ti[:8]          # genuinely separate splits
+        held = ti if len(ti) else vi
+        if len(held) == 0:
             # No held-out view at all: scoring a TRAIN view as val would
             # be silently optimistic — skip validation instead.
-            return np.zeros((0,), np.int64)
-        if len(ti) and len(vi) > 1 and np.array_equal(vi, ti):
-            vi = vi[1:]
-        return vi[:4]
+            return empty, empty
+        if len(held) == 1:
+            return held.copy(), held.copy()
+        if args.track_best:
+            val = held[1::2][:4]
+            test = np.asarray(
+                [t for t in held if t not in set(val.tolist())])
+            return val, test[:8]
+        return held[1:5], held[:8]
 
-    val_views = _pick_val_views()
+    val_views, test_views = _split_heldout_views()
 
     def val_metrics(params):
         """Mean PSNR/SSIM over the val views; returns (psnr, ssim, rgb0)."""
@@ -282,9 +303,20 @@ def main(argv=None):
     # the held-out quality can peak mid-run (measured on the 360° band:
     # val peaks by ~5-15k of a 50k run while train PSNR keeps climbing) —
     # the deployable model is the best-val checkpoint, not the last step.
+    # The best score persists in best.json so a RESUMED run keeps
+    # comparing against the all-time best instead of re-crowning the
+    # first (possibly post-peak) val it sees; stale-run leftovers are
+    # moved aside by backup_stale_ckpts above.
     best = {"psnr": float("-inf"), "step": None}
     best_writer = (Checkpointer(ckpt_dir + "_best")
                    if args.track_best and args.val_freq > 0 else None)
+    if best_writer is not None and os.path.exists(best_meta_path) and \
+            (latest_step(ckpt_dir + "_best") is not None):
+        import json as _json
+        with open(best_meta_path) as fp:
+            best = _json.load(fp)
+        print(f"Resuming best-val tracking: {best['psnr']:.3f} dB at "
+              f"step {best['step']}")
 
     def ckpt_cb(i, tr, m):
         ckpt_writer.save(tr.state)
@@ -314,8 +346,14 @@ def main(argv=None):
         logger.log(i, val_psnr=v, val_ssim=s, val_views=len(val_views))
         logger.log_image(i, "val_render", rgb)
         if best_writer is not None and v > best["psnr"]:
-            best.update(psnr=v, step=i)
+            # Save FIRST: if the writer refuses (e.g. a stale dir slipped
+            # past the backups), best must not advance past the
+            # checkpoint that actually exists on disk.
             best_writer.save(tr.state)
+            best.update(psnr=v, step=i)
+            import json as _json
+            with open(best_meta_path, "w") as fp:
+                _json.dump(best, fp)
             print(f"New best val PSNR {v:.3f} at step {i} "
                   f"(checkpointed to {ckpt_dir}_best)")
 
@@ -345,10 +383,12 @@ def main(argv=None):
 
     def test_eval(params):
         """Held-out test PSNR/SSIM (the reference computes no quantitative
-        eval at all — SURVEY.md §4; this is the PSNR-parity evidence)."""
+        eval at all — SURVEY.md §4; this is the PSNR-parity evidence).
+        Scores ``test_views`` — disjoint from the validation views when
+        the dataset allows it (see ``_split_heldout_views``)."""
         from cvnerf_tpu.render.frames import render_image as _ri
         psnrs, ssims = [], []
-        for i in np.asarray(scene.test_idx)[:8]:
+        for i in test_views:
             out = _ri(jax.random.PRNGKey(7), params,
                       scene.height, scene.width, scene.focal,
                       jnp.asarray(scene.poses[int(i)]), scene.near,
@@ -360,13 +400,16 @@ def main(argv=None):
             ssims.append(ssim_images(rgb, scene.images[int(i)]))
         return float(np.mean(psnrs)), float(np.mean(ssims)), len(psnrs)
 
-    if len(scene.test_idx):
+    if best_writer is not None:
+        best_writer.close()          # waits for in-flight async saves;
+        # closed unconditionally — a run too short to ever fire val_cb
+        # must not leak the manager's background threads.
+    if len(test_views):
         p, s, n = test_eval(trainer.state.params)
         logger.log(int(trainer.state.step), test_psnr=p, test_ssim=s,
                    test_views=n)
         if best_writer is not None and best["step"] is not None:
             # Score the deployable (best-val) model too.
-            best_writer.close()      # waits for in-flight async saves
             restored = restore_checkpoint(ckpt_dir + "_best", state)
             if restored is not None:
                 params_best = restored.params
@@ -381,8 +424,6 @@ def main(argv=None):
                 print(f"Best-val model (step {best['step']}): "
                       f"test_psnr={pb:.3f} test_ssim={sb:.4f} "
                       f"(final-step model: {p:.3f}/{s:.4f})")
-    elif best_writer is not None:
-        best_writer.close()
     logger.close()
     print("Training complete:", final)
 

@@ -45,7 +45,9 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          focal: float, near: float, far: float, ndc: bool,
                          ndc_variant: str, white_bkg: bool,
                          n_coarse: int, n_fine: int, bf16: bool,
-                         mlp: NerfMLPConfig) -> str:
+                         mlp: NerfMLPConfig,
+                         sorted_resample: bool = True,
+                         pallas: str = "auto") -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -60,6 +62,7 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         "near": float(near), "far": float(far), "ndc": bool(ndc),
         "ndc_variant": ndc_variant, "white_bkg": bool(white_bkg),
         "n_coarse": int(n_coarse), "n_fine": int(n_fine), "bf16": bool(bf16),
+        "sorted_resample": bool(sorted_resample), "pallas": pallas,
         "mlp": dataclasses.asdict(mlp),
     }
     with open(path, "w") as fp:
@@ -146,7 +149,9 @@ class NerfRenderer:
         cfg = RenderConfig(
             n_coarse=geo["n_coarse"], n_fine=geo["n_fine"],
             white_bkg=geo["white_bkg"], mlp=NerfMLPConfig(**geo["mlp"]),
-            compute_dtype=jnp.bfloat16 if geo.get("bf16") else jnp.float32)
+            compute_dtype=jnp.bfloat16 if geo.get("bf16") else jnp.float32,
+            sorted_resample=geo.get("sorted_resample", True),
+            pallas=geo.get("pallas", "auto"))
         return cls(os.path.join(run_dir, "checkpoints"),
                    height=geo["height"], width=geo["width"],
                    focal=geo["focal"], near=geo["near"], far=geo["far"],

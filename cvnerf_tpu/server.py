@@ -110,6 +110,11 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
         except ValueError:
             self._json(400, {"error": "bad Content-Length header"})
             return
+        if n < 0:
+            # rfile.read(-1) would read until EOF: an attacker holding the
+            # socket open pins the handler thread and defeats the size cap.
+            self._json(400, {"error": "negative Content-Length"})
+            return
         if n > MAX_REQUEST_BYTES:
             self._json(413, {"error": f"request body {n} bytes exceeds "
                                       f"the {MAX_REQUEST_BYTES}-byte limit"})
@@ -195,12 +200,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--stochastic", action="store_true",
                    help="reference-style stochastic eval resampling")
+    # ndc flags default to None so --run can detect (and reject) explicit
+    # overrides; without --run, None resolves to False/"canonical".
     p.add_argument("--ndc", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=None,
                    help="NDC ray warp — REQUIRED for checkpoints trained on "
                         "forward-facing LLFF scenes (fern/skull configs; "
                         "serve those with --ndc --near 0 --far 1)")
-    p.add_argument("--ndc_variant", default="canonical",
+    p.add_argument("--ndc_variant", default=None,
                    choices=["canonical", "reference"])
     return p
 
@@ -208,25 +215,28 @@ def build_parser() -> argparse.ArgumentParser:
 def renderer_from_args(args) -> NerfRenderer:
     """Build the renderer from parsed CLI args (--run snapshot or explicit
     geometry flags). Raises SystemExit with a usage message on bad combos."""
-    geo_flags = ("ckpt", "height", "width", "focal", "near", "far")
+    geo_flags = ("ckpt", "height", "width", "focal", "near", "far",
+                 "ndc", "ndc_variant")
     if args.run:
         given = [f"--{k}" for k in geo_flags
                  if getattr(args, k) is not None]
         if given:
             raise SystemExit(
                 f"--run reads geometry from the run snapshot; drop "
-                f"{' '.join(given)} (a mistyped override would silently "
-                f"render garbage — edit <run>/scene.json instead)")
+                f"{' '.join(given)} (a silently-ignored or mistyped "
+                f"override would render garbage — edit <run>/scene.json "
+                f"instead)")
         return NerfRenderer.from_run_dir(
             args.run, chunk=args.chunk, deterministic=not args.stochastic)
-    missing = [f"--{k}" for k in geo_flags if getattr(args, k) is None]
+    required = ("ckpt", "height", "width", "focal", "near", "far")
+    missing = [f"--{k}" for k in required if getattr(args, k) is None]
     if missing:
         raise SystemExit(
             f"without --run, {' '.join(missing)} are required")
     return NerfRenderer(args.ckpt, height=args.height, width=args.width,
                         focal=args.focal, near=args.near, far=args.far,
-                        chunk=args.chunk, ndc=args.ndc,
-                        ndc_variant=args.ndc_variant,
+                        chunk=args.chunk, ndc=bool(args.ndc),
+                        ndc_variant=args.ndc_variant or "canonical",
                         deterministic=not args.stochastic)
 
 

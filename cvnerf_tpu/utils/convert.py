@@ -113,10 +113,28 @@ def params_from_torch_state_dict(sd: dict) -> tuple[dict, NerfMLPConfig]:
     return params, cfg
 
 
-def load_torch_checkpoint(path: str) -> tuple[dict, NerfMLPConfig]:
-    """A ``.pt`` file → ``{"coarse": ..., "fine": ...}`` params + cfg."""
+def load_torch_checkpoint(path: str,
+                          allow_pickle: bool = False
+                          ) -> tuple[dict, NerfMLPConfig]:
+    """A ``.pt`` file → ``{"coarse": ..., "fine": ...}`` params + cfg.
+
+    Loads with ``weights_only=True`` (no arbitrary-code pickle execution —
+    these checkpoints come from outside this codebase). Checkpoints that
+    pickled live ``nn.Module`` objects need ``allow_pickle=True`` /
+    ``--allow_pickle``, which runs their pickle code: only use it on
+    checkpoints you trust.
+    """
     import torch
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} is not a plain-tensor checkpoint "
+                f"(weights_only load failed: {e}). If you trust its "
+                "source, retry with allow_pickle=True / --allow_pickle "
+                "(this executes the file's pickle code).") from e
+        blob = torch.load(path, map_location="cpu", weights_only=False)
 
     coarse = fine = None
     if isinstance(blob, dict):
@@ -144,7 +162,8 @@ def load_torch_checkpoint(path: str) -> tuple[dict, NerfMLPConfig]:
 
 
 def import_torch_checkpoint(path: str, out_dir: str,
-                            step: int = 0) -> NerfMLPConfig:
+                            step: int = 0,
+                            allow_pickle: bool = False) -> NerfMLPConfig:
     """Convert a torch checkpoint into an orbax run checkpoint.
 
     Writes ``<out_dir>/checkpoints`` (params + fresh optimizer state at
@@ -158,7 +177,7 @@ def import_torch_checkpoint(path: str, out_dir: str,
     from cvnerf_tpu.train.checkpoint import save_checkpoint
     from cvnerf_tpu.train.state import TrainState, create_train_state
 
-    params, cfg = load_torch_checkpoint(path)
+    params, cfg = load_torch_checkpoint(path, allow_pickle=allow_pickle)
     template = create_train_state(jax.random.PRNGKey(0), mlp=cfg)
     params = jax.tree.map(jnp.asarray, params)
     state = TrainState(params=params, opt_state=template.opt_state,
@@ -178,9 +197,13 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=0,
                    help="step to stamp on the imported state (e.g. the "
                         "reference's training iteration)")
+    p.add_argument("--allow_pickle", action="store_true",
+                   help="permit full-pickle checkpoints (EXECUTES the "
+                        "file's pickle code — trusted sources only)")
     args = p.parse_args(argv)
     cfg = import_torch_checkpoint(args.torch_ckpt, args.out_dir,
-                                  step=args.step)
+                                  step=args.step,
+                                  allow_pickle=args.allow_pickle)
     print(f"Imported {args.torch_ckpt} -> {args.out_dir}/checkpoints "
           f"(architecture: {cfg})")
     print("Serve with: cvnerf-serve --ckpt "

@@ -271,6 +271,66 @@ def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path):
     assert "best_val_psnr" in best[-1] and "test_ssim_best" in best[-1]
 
 
+def test_track_best_survives_resume_and_no_reload(blender_dir, tmp_path):
+    """(a) A resumed run keeps comparing against the persisted all-time
+    best (best.json) instead of re-crowning its first val; (b) --no_reload
+    moves checkpoints_best aside with the main checkpoints so lower-step
+    best-saves don't collide with a stale dir."""
+    import main as cli
+    logdir = str(tmp_path / "logs_bestr")
+    base = ["--data_dir", blender_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "br", *TINY_FLAGS,
+            "--ckpt_freq", "5", "--val_freq", "5", "--track_best"]
+    cli.main([*base, "--iters", "11"])
+    run_dir = os.path.join(logdir, "br")
+    best1 = json.load(open(os.path.join(run_dir, "best.json")))
+
+    # (a) resume to 16: best must be monotone (never below the restored one)
+    cli.main([*base, "--iters", "16"])
+    best2 = json.load(open(os.path.join(run_dir, "best.json")))
+    assert best2["psnr"] >= best1["psnr"]
+
+    # (b) fresh restart must not crash on the stale best dir, and must
+    # back it up alongside the main checkpoints
+    cli.main([*base, "--iters", "11", "--no_reload"])
+    names = os.listdir(run_dir)
+    assert any(n.startswith("checkpoints.bak") and n.endswith("_best")
+               for n in names), names
+    recs = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert [r for r in recs if "test_psnr_best" in r]
+
+
+def test_track_best_partitions_heldout_views(tmp_path):
+    """With --track_best on an LLFF scene (val split IS the test split),
+    selection views and acceptance views must be disjoint — test_views in
+    the metrics shrinks to the non-val partition."""
+    from fixtures import make_llff_dataset
+    import main as cli
+    d = str(tmp_path / "llff")
+    make_llff_dataset(d, n=8, h=24, w=32, focal=30.0)
+    logdir = str(tmp_path / "logs_part")
+    base = ["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+            "--dtype", "llff", "--factor", "1", "--llffhold", "2",
+            "--no-bf16", "--n_rays", "64", "--n_coarse_samples", "8",
+            "--n_fine_samples", "8", "--trunk_width", "32",
+            "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+            "--noise", "1.0", "--chunk", "256", "--print_freq", "5",
+            "--vid_freq", "0", "--ckpt_freq", "0", "--lr", "5e-3",
+            "--iters", "7", "--val_freq", "5"]
+    # llffhold=2 on 8 views -> 4 held-out. track_best: val=2, test=2.
+    cli.main([*base, "--name", "tb", "--track_best"])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "tb", "metrics.jsonl"))]
+    assert [r for r in recs if r.get("val_views") == 2]
+    assert [r for r in recs if r.get("test_views") == 2]
+    # without selection, val only monitors: the full held-out set tests
+    cli.main([*base, "--name", "nt"])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "nt", "metrics.jsonl"))]
+    assert [r for r in recs if r.get("test_views") == 4]
+
+
 def test_empty_val_split_skips_val_metric(tmp_path):
     """A scene with zero val views must not log a train view as val_psnr."""
     from fixtures import make_blender_dataset

@@ -195,6 +195,24 @@ def test_oversized_request_is_413(server_url):
         conn.close()
 
 
+def test_negative_content_length_is_400(server_url):
+    """A negative Content-Length must not reach rfile.read(-1) (which
+    would block until the client closes and then buffer unboundedly)."""
+    import http.client
+    host, port = server_url.split("//")[1].split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.putrequest("POST", "/render")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "negative" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
 def test_render_failure_is_500_json(server_url):
     """An unexpected error inside the render call must yield a JSON 500,
     not a dropped connection (advisor r2: the exception escaped the
@@ -285,10 +303,19 @@ def test_server_cli_exposes_ndc_flags():
     base = ["--ckpt", "x", "--height", "4", "--width", "4",
             "--focal", "4", "--near", "0", "--far", "1"]
     args = build_parser().parse_args(base)
-    assert args.ndc is False
+    assert args.ndc is None          # None = not given (resolves to off)
     args = build_parser().parse_args(
         [*base, "--ndc", "--ndc_variant", "reference"])
     assert args.ndc is True and args.ndc_variant == "reference"
+
+
+def test_cli_run_flag_rejects_ndc_overrides():
+    """--ndc/--ndc_variant alongside --run must error, not be silently
+    ignored (the snapshot's NDC mode is authoritative)."""
+    from cvnerf_tpu.server import build_parser, renderer_from_args
+    args = build_parser().parse_args(["--run", "x", "--ndc"])
+    with pytest.raises(SystemExit, match="--ndc"):
+        renderer_from_args(args)
 
 
 def test_renderer_ndc_changes_output(tmp_path):
