@@ -12,6 +12,11 @@ Endpoints:
                                "factor": int (optional downscale),
                                "format": "png" (default) | "json"}
                               → image/png bytes, or JSON {"rgb": [[[...]]]}
+    POST /render_video      → body JSON {"poses": [[[...3x4...]], ...],
+                               "factor": int, "fps": int (default 30)}
+                              → video/mp4 bytes (the reference's spiral-
+                               video output, main.py:396-404, as a service;
+                               frames render pipelined on device)
 
 Requests are rendered under a lock: the device executes one render at a
 time (rays inside a request are already the parallel axis — across chips
@@ -62,9 +67,15 @@ def _encode_image(rgb8: np.ndarray) -> tuple[bytes, str]:
 
 
 # A render request is a c2w matrix plus a couple of scalars — a few hundred
-# bytes of JSON. Anything beyond this bound is not a legitimate request and
-# is rejected up front (413) instead of being buffered into host memory.
+# bytes of JSON (a render_video pose list is a few hundred bytes per pose).
+# Anything beyond this bound is not a legitimate request and is rejected up
+# front (413) instead of being buffered into host memory.
 MAX_REQUEST_BYTES = 1 << 20
+
+# Pose-sequence bound for /render_video: the reference's longest built-in
+# path is 120 poses (LLFF spiral, data_helpers.py:302); 240 leaves 2x
+# headroom while keeping a single request's device time bounded.
+MAX_VIDEO_POSES = 240
 
 
 class NerfRequestHandler(BaseHTTPRequestHandler):
@@ -101,26 +112,46 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             "deterministic": bool(r.cfg.deterministic_resample),
         })
 
-    def do_POST(self):  # noqa: N802
-        if self.path.split("?")[0] != "/render":
-            self._json(404, {"error": f"unknown path {self.path!r}"})
-            return
+    def _read_json_body(self) -> dict | None:
+        """Read and parse the request body; on failure the error response
+        has already been sent and None is returned."""
         try:
             n = int(self.headers.get("Content-Length", 0))
         except ValueError:
             self._json(400, {"error": "bad Content-Length header"})
-            return
+            return None
         if n < 0:
             # rfile.read(-1) would read until EOF: an attacker holding the
             # socket open pins the handler thread and defeats the size cap.
             self._json(400, {"error": "negative Content-Length"})
-            return
+            return None
         if n > MAX_REQUEST_BYTES:
             self._json(413, {"error": f"request body {n} bytes exceeds "
                                       f"the {MAX_REQUEST_BYTES}-byte limit"})
-            return
+            return None
         try:
             req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._json(400, {"error": repr(e)})
+            return None
+        return req
+
+    def do_POST(self):  # noqa: N802
+        path = self.path.split("?")[0]
+        if path == "/render":
+            self._post_render()
+        elif path == "/render_video":
+            self._post_render_video()
+        else:
+            self._json(404, {"error": f"unknown path {self.path!r}"})
+
+    def _post_render(self):
+        req = self._read_json_body()
+        if req is None:
+            return
+        try:
             c2w = np.asarray(req["c2w"], np.float32)
             if c2w.shape not in ((3, 4), (4, 4)):
                 raise ValueError(f"c2w must be [3,4] or [4,4], "
@@ -166,6 +197,65 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
         body, ctype = _encode_image(np.asarray(to_byte(rgb)))
         self.send_response(200)
         self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _post_render_video(self):
+        """Render a pose sequence to an mp4 (the reference's spiral-video
+        output as a service; frames render pipelined — frame i+1 executes
+        on device while frame i encodes on host)."""
+        req = self._read_json_body()
+        if req is None:
+            return
+        try:
+            poses = np.asarray(req["poses"], np.float32)
+            if poses.ndim != 3 or poses.shape[1:] not in ((3, 4), (4, 4)):
+                raise ValueError(
+                    "poses must be [N,3,4] or [N,4,4], got "
+                    f"{list(poses.shape)}")
+            if not 1 <= poses.shape[0] <= MAX_VIDEO_POSES:
+                raise ValueError(
+                    f"pose count must be 1..{MAX_VIDEO_POSES}, "
+                    f"got {poses.shape[0]}")
+            factor = int(req.get("factor", 0))
+            r: NerfRenderer = self.server.renderer
+            if factor < 0 or (factor and factor > min(r.height, r.width)):
+                raise ValueError(
+                    f"factor must be in [0, min(H, W)="
+                    f"{min(r.height, r.width)}], got {factor}")
+            fps = int(req.get("fps", 30))
+            if not 1 <= fps <= 120:
+                raise ValueError(f"fps must be 1..120, got {fps}")
+        except (KeyError, ValueError, TypeError) as e:
+            self._json(400, {"error": repr(e)})
+            return
+
+        import os
+        import tempfile
+
+        from cvnerf_tpu.utils.image import write_video
+        try:
+            with self.server.render_lock:
+                frames = self.server.renderer.render_video(
+                    poses[:, :3, :4], factor=factor)
+            with tempfile.TemporaryDirectory() as td:
+                path = os.path.join(td, "out.mp4")
+                written = write_video(path, frames, fps=fps)
+                if written != path:   # PNG-directory fallback: no encoder
+                    self._json(501, {"error": "mp4 encoding unavailable "
+                                              "on this host (no cv2 "
+                                              "writer); request frames "
+                                              "via /render instead"})
+                    return
+                with open(path, "rb") as fp:
+                    body = fp.read()
+        except Exception as e:  # noqa: BLE001 — JSON 500, not a dropped
+            # connection from an escaping handler-thread exception.
+            self._json(500, {"error": f"render failed: {e!r}"})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "video/mp4")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)

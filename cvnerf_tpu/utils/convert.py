@@ -200,15 +200,44 @@ def main(argv=None):
     p.add_argument("--allow_pickle", action="store_true",
                    help="permit full-pickle checkpoints (EXECUTES the "
                         "file's pickle code — trusted sources only)")
+    # Optional scene geometry: with all five given, a scene.json snapshot
+    # is written so the imported run serves via `cvnerf-serve --run`.
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--focal", type=float, default=None)
+    p.add_argument("--near", type=float, default=None)
+    p.add_argument("--far", type=float, default=None)
+    p.add_argument("--ndc", action="store_true",
+                   help="scene.json NDC mode (forward-facing LLFF scenes)")
+    p.add_argument("--white_bkg", action="store_true")
+    p.add_argument("--n_coarse_samples", type=int, default=64)
+    p.add_argument("--n_fine_samples", type=int, default=128)
     args = p.parse_args(argv)
     cfg = import_torch_checkpoint(args.torch_ckpt, args.out_dir,
                                   step=args.step,
                                   allow_pickle=args.allow_pickle)
     print(f"Imported {args.torch_ckpt} -> {args.out_dir}/checkpoints "
           f"(architecture: {cfg})")
-    print("Serve with: cvnerf-serve --ckpt "
-          f"{args.out_dir}/checkpoints --height ... (or write a "
-          "scene.json into the run dir and use --run)")
+    geo = (args.height, args.width, args.focal, args.near, args.far)
+    if all(v is not None for v in geo):
+        from cvnerf_tpu.serve import write_scene_snapshot
+        write_scene_snapshot(
+            args.out_dir, height=args.height, width=args.width,
+            focal=args.focal, near=args.near, far=args.far, ndc=args.ndc,
+            ndc_variant="canonical", white_bkg=args.white_bkg,
+            n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
+            bf16=False, mlp=cfg)
+        print(f"Serve with: cvnerf-serve --run {args.out_dir}")
+    elif any(v is not None for v in geo):
+        print("[WARN] partial geometry given — scene.json needs all of "
+              "--height --width --focal --near --far; skipped")
+        print("Serve with: cvnerf-serve --ckpt "
+              f"{args.out_dir}/checkpoints --height ...")
+    else:
+        print("Serve with: cvnerf-serve --ckpt "
+              f"{args.out_dir}/checkpoints --height ... (or re-import "
+              "with --height/--width/--focal/--near/--far to enable "
+              "`cvnerf-serve --run`)")
 
 
 if __name__ == "__main__":

@@ -85,6 +85,40 @@ def test_missing_layer_is_a_clear_error():
         params_from_torch_state_dict(sd)
 
 
+def test_import_cli_with_geometry_writes_scene_json(tmp_path):
+    """cvnerf-import --height/--width/... writes a scene.json so the
+    imported run serves with `cvnerf-serve --run` (zero geometry flags)."""
+    from cvnerf_tpu.serve import NerfRenderer
+    from cvnerf_tpu.utils.convert import main as imp_main
+
+    path = str(tmp_path / "ref.pt")
+    tiny = dict(xyz_dim=3 + 6 * 4, dir_dim=3 + 6 * 2, w=32, h=16)
+    torch.save(_torch_model(0, **tiny).state_dict(), path)
+    out = str(tmp_path / "run")
+    imp_main([path, out, "--step", "7", "--height", "8", "--width", "8",
+              "--focal", "10", "--near", "2", "--far", "6",
+              "--n_coarse_samples", "4", "--n_fine_samples", "4"])
+    r = NerfRenderer.from_run_dir(out, chunk=64, use_mesh=False)
+    assert r.step == 7 and (r.height, r.width) == (8, 8)
+    assert r.cfg.mlp.trunk_width == 32
+    rgb = r.render_pose(np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                                  [0, 0, 1.0, 4.0]]))
+    assert np.isfinite(rgb).all()
+
+
+def test_import_rejects_full_pickle_without_flag(tmp_path):
+    """Checkpoints that need pickle code execution are refused unless
+    --allow_pickle is given (external .pt files are untrusted input)."""
+    from cvnerf_tpu.utils.convert import load_torch_checkpoint
+
+    path = str(tmp_path / "module.pt")
+    torch.save({"coarse": _torch_model(0)}, path)   # live nn.Module
+    with pytest.raises(ValueError, match="allow_pickle"):
+        load_torch_checkpoint(path)
+    params, _ = load_torch_checkpoint(path, allow_pickle=True)
+    assert "coarse" in params
+
+
 def test_import_then_render(tmp_path):
     """Full switcher path: torch .pt -> orbax checkpoint -> NerfRenderer."""
     from cvnerf_tpu.render.renderer import RenderConfig

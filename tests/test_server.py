@@ -296,6 +296,40 @@ def test_cli_without_run_requires_geometry():
         renderer_from_args(args)
 
 
+def test_render_video_returns_mp4(server_url):
+    cv2 = pytest.importorskip("cv2")
+    poses = [POSE, [[1.0, 0, 0, 0.1], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]]]
+    with _post(server_url + "/render_video",
+               {"poses": poses, "fps": 10}) as resp:
+        assert resp.headers["Content-Type"] == "video/mp4"
+        data = resp.read()
+    assert len(data) > 100
+    # decodable round trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "v.mp4")
+        open(p, "wb").write(data)
+        cap = cv2.VideoCapture(p)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+    assert n == 2
+
+
+@pytest.mark.parametrize("payload,msg", [
+    ({}, "poses"),
+    ({"poses": [[[1, 2], [3, 4]]]}, "3,4"),
+    ({"poses": [POSE], "fps": 0}, "fps"),
+    ({"poses": [POSE] * 241}, "pose count"),
+])
+def test_render_video_bad_requests(server_url, payload, msg):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server_url + "/render_video", payload)
+    assert ei.value.code == 400
+    assert msg in json.loads(ei.value.read())["error"].replace("'", "")
+
+
 def test_server_cli_exposes_ndc_flags():
     """Forward-facing (fern/skull) checkpoints need the NDC warp at serve
     time; the CLI must be able to express it (previously unreachable)."""
