@@ -111,6 +111,26 @@ def latest_step(ckpt_dir: str) -> int | None:
     return step
 
 
+def restore_params(ckpt_dir: str,
+                   step: int | None = None) -> tuple[dict, int]:
+    """Template-free restore of just the params pytree (plus its step).
+
+    For consumers that cannot know the architecture up front (e.g. the
+    torch exporter): orbax restores the stored structure as plain arrays.
+    Raises FileNotFoundError when the directory holds no checkpoint.
+    """
+    mgr = _manager(ckpt_dir)
+    try:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+        return restored["params"], int(np.asarray(restored["step"]))
+    finally:
+        mgr.close()
+
+
 def restore_checkpoint(ckpt_dir: str, template: TrainState,
                        step: int | None = None) -> TrainState | None:
     """Restore the latest (or given) step; None if no checkpoint exists.

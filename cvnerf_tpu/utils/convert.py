@@ -186,17 +186,64 @@ def import_torch_checkpoint(path: str, out_dir: str,
     return cfg
 
 
+def torch_state_dict_from_params(params: dict) -> dict:
+    """One network's params pytree → a reference-``Model`` state_dict.
+
+    The inverse of :func:`params_from_torch_state_dict`: weights transpose
+    back to torch's ``[out, in]``. Lets a cvnerf_tpu-trained model be
+    loaded by reference-architecture PyTorch tooling for validation.
+    """
+    import torch
+    sd = {}
+    for ours, theirs in _NAME_MAP.items():
+        w = np.asarray(params[ours]["w"], np.float32)
+        b = np.asarray(params[ours]["b"], np.float32)
+        sd[f"{theirs}.weight"] = torch.from_numpy(w.T.copy())
+        sd[f"{theirs}.bias"] = torch.from_numpy(b.copy())
+    return sd
+
+
+def export_torch_checkpoint(ckpt_dir: str, out_path: str,
+                            step: int | None = None) -> int:
+    """An orbax run checkpoint → a two-net torch ``.pt`` file.
+
+    Writes ``{"coarse": state_dict, "fine": state_dict, "step": N}`` —
+    plain tensors only, loadable with ``torch.load(weights_only=True)``.
+    Returns the exported step. The architecture is read from the stored
+    weight shapes (any template-free restore), so non-default widths
+    export too.
+    """
+    import torch
+
+    from cvnerf_tpu.train.checkpoint import restore_params
+
+    params, got_step = restore_params(ckpt_dir, step=step)
+    blob = {"coarse": torch_state_dict_from_params(params["coarse"]),
+            "fine": torch_state_dict_from_params(params["fine"]),
+            "step": int(got_step)}
+    torch.save(blob, out_path)
+    return int(got_step)
+
+
 def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(
-        description="Import a reference (PyTorch) NeRF checkpoint")
-    p.add_argument("torch_ckpt", help="path to the .pt file")
-    p.add_argument("out_dir", help="run directory to create (gets a "
-                                   "checkpoints/ subdir)")
+        description="Convert checkpoints between the reference's PyTorch "
+                    "format and cvnerf_tpu's orbax format")
+    p.add_argument("src", help="import: path to the .pt file; "
+                               "--export: the orbax checkpoints dir")
+    p.add_argument("dst", help="import: run directory to create (gets a "
+                               "checkpoints/ subdir); --export: the .pt "
+                               "path to write")
+    p.add_argument("--export", action="store_true",
+                   help="reverse direction: orbax checkpoint → torch .pt "
+                        "({'coarse': state_dict, 'fine': state_dict, "
+                        "'step': N}, plain tensors, weights_only-loadable)")
     p.add_argument("--step", type=int, default=0,
-                   help="step to stamp on the imported state (e.g. the "
-                        "reference's training iteration)")
+                   help="import: step to stamp on the imported state; "
+                        "--export: which checkpoint step to export "
+                        "(default latest)")
     p.add_argument("--allow_pickle", action="store_true",
                    help="permit full-pickle checkpoints (EXECUTES the "
                         "file's pickle code — trusted sources only)")
@@ -213,29 +260,35 @@ def main(argv=None):
     p.add_argument("--n_coarse_samples", type=int, default=64)
     p.add_argument("--n_fine_samples", type=int, default=128)
     args = p.parse_args(argv)
-    cfg = import_torch_checkpoint(args.torch_ckpt, args.out_dir,
+    if args.export:
+        step = export_torch_checkpoint(args.src, args.dst,
+                                       step=args.step or None)
+        print(f"Exported {args.src} (step {step}) -> {args.dst} "
+              "(reference-Model state_dicts under 'coarse'/'fine')")
+        return
+    cfg = import_torch_checkpoint(args.src, args.dst,
                                   step=args.step,
                                   allow_pickle=args.allow_pickle)
-    print(f"Imported {args.torch_ckpt} -> {args.out_dir}/checkpoints "
+    print(f"Imported {args.src} -> {args.dst}/checkpoints "
           f"(architecture: {cfg})")
     geo = (args.height, args.width, args.focal, args.near, args.far)
     if all(v is not None for v in geo):
         from cvnerf_tpu.serve import write_scene_snapshot
         write_scene_snapshot(
-            args.out_dir, height=args.height, width=args.width,
+            args.dst, height=args.height, width=args.width,
             focal=args.focal, near=args.near, far=args.far, ndc=args.ndc,
             ndc_variant="canonical", white_bkg=args.white_bkg,
             n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
             bf16=False, mlp=cfg)
-        print(f"Serve with: cvnerf-serve --run {args.out_dir}")
+        print(f"Serve with: cvnerf-serve --run {args.dst}")
     elif any(v is not None for v in geo):
         print("[WARN] partial geometry given — scene.json needs all of "
               "--height --width --focal --near --far; skipped")
         print("Serve with: cvnerf-serve --ckpt "
-              f"{args.out_dir}/checkpoints --height ...")
+              f"{args.dst}/checkpoints --height ...")
     else:
         print("Serve with: cvnerf-serve --ckpt "
-              f"{args.out_dir}/checkpoints --height ... (or re-import "
+              f"{args.dst}/checkpoints --height ... (or re-import "
               "with --height/--width/--focal/--near/--far to enable "
               "`cvnerf-serve --run`)")
 

@@ -119,6 +119,55 @@ def test_import_rejects_full_pickle_without_flag(tmp_path):
     assert "coarse" in params
 
 
+def test_export_roundtrip(tmp_path):
+    """cvnerf checkpoint → torch .pt → re-import: weights must survive
+    both directions bit-exactly, and the exported file must be
+    weights_only-loadable (plain tensors, no pickle code)."""
+    import jax
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig, init_nerf_params
+    from cvnerf_tpu.train.checkpoint import save_checkpoint
+    from cvnerf_tpu.train.state import TrainState, create_train_state
+    from cvnerf_tpu.utils.convert import (export_torch_checkpoint,
+                                          load_torch_checkpoint)
+
+    tiny = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32,
+                         head_width=16)
+    st = create_train_state(jax.random.PRNGKey(5), mlp=tiny)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, TrainState(params=st.params,
+                                     opt_state=st.opt_state,
+                                     step=st.step + 42))
+    out = str(tmp_path / "exported.pt")
+    step = export_torch_checkpoint(ckpt, out)
+    assert step == 42
+
+    blob = torch.load(out, map_location="cpu", weights_only=True)
+    assert blob["step"] == 42
+    params, cfg = load_torch_checkpoint(out)
+    assert cfg == tiny
+    for net in ("coarse", "fine"):
+        for layer, lv in st.params[net].items():
+            np.testing.assert_array_equal(
+                np.asarray(lv["w"]), params[net][layer]["w"])
+
+
+def test_export_cli(tmp_path):
+    import jax
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+    from cvnerf_tpu.train.checkpoint import save_checkpoint
+    from cvnerf_tpu.train.state import create_train_state
+    from cvnerf_tpu.utils.convert import main as conv_main
+
+    tiny = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32,
+                         head_width=16)
+    st = create_train_state(jax.random.PRNGKey(0), mlp=tiny)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, st)
+    out = str(tmp_path / "e.pt")
+    conv_main(["--export", ckpt, out])
+    assert torch.load(out, weights_only=True)["step"] == 0
+
+
 def test_import_then_render(tmp_path):
     """Full switcher path: torch .pt -> orbax checkpoint -> NerfRenderer."""
     from cvnerf_tpu.render.renderer import RenderConfig
