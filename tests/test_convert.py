@@ -151,6 +151,13 @@ def test_export_roundtrip(tmp_path):
                 np.asarray(lv["w"]), params[net][layer]["w"])
 
 
+def test_export_empty_dir_is_clear_error(tmp_path):
+    from cvnerf_tpu.utils.convert import export_torch_checkpoint
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        export_torch_checkpoint(str(tmp_path / "nothing"),
+                                str(tmp_path / "o.pt"))
+
+
 def test_export_cli(tmp_path):
     import jax
     from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
