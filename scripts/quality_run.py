@@ -196,7 +196,11 @@ def main():
     ap.add_argument("--iters", type=int, default=50000)
     ap.add_argument("--scene", default="checker",
                     choices=["checker", "llff_plane", "llff_360",
-                             "sphere_hi"])
+                             "sphere_hi", "all"],
+                    help="'all' sweeps every banded scene at --iters "
+                         "(regression check across all three data paths "
+                         "in one command); exits nonzero if ANY band "
+                         "fails")
     ap.add_argument("--pin", action="store_true",
                     help="write measured-1.0 dB as the new lower band")
     ap.add_argument("--keep_artifacts", action="store_true",
@@ -227,6 +231,25 @@ def main():
                          "— experiment arms; put it LAST; not recorded into "
                          "the band config)")
     args = ap.parse_args()
+
+    if args.scene == "all":
+        # Sweep every banded scene in-process (compiled programs and the
+        # persistent cache are shared across scenes of the same shape).
+        if args.pin or args.defect:
+            raise SystemExit("--scene all is a check sweep; pin scenes "
+                             "and inject defects individually")
+        import subprocess
+        failures = []
+        for scene in ("checker", "sphere_hi", "llff_plane", "llff_360"):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scene", scene, "--iters", str(args.iters)]
+            print(f"=== {scene} ({args.iters} iters) ===", flush=True)
+            if subprocess.call(cmd) != 0:
+                failures.append(scene)
+        if failures:
+            sys.exit(f"band sweep FAILED for: {', '.join(failures)}")
+        print("band sweep: all scenes PASS")
+        return
 
     workdir = tempfile.mkdtemp(prefix="quality_run_")
     data_dir, scene_flags, info = _make_scene(args.scene, workdir)
