@@ -182,6 +182,30 @@ class NerfRenderer:
                            mesh=self.mesh)
         return {k: np.asarray(out[k]) for k in keys}
 
+    def extract_mesh(self, *, net: str = "fine", resolution: int = 256,
+                     iso: float = 50.0, bound: float = 1.5,
+                     chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+        """Mesh this checkpoint's density field (see ``render.mesh``).
+
+        For NDC-trained runs the sampling box is the NDC frustum box
+        (x, y ∈ [-1, 1], z ∈ [0, 1]) — the only region the model was ever
+        queried in; otherwise a ``±bound`` cube around the origin.
+        """
+        from cvnerf_tpu.render.mesh import extract_mesh
+        if self.ndc:
+            bbox_min, bbox_max = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+        else:
+            bbox_min = (-bound,) * 3
+            bbox_max = (bound,) * 3
+        if net == "fine" and self.cfg.n_fine == 0:
+            net = "coarse"
+        # Serving params may be mesh-replicated jax arrays; extraction only
+        # reads them, which works for either placement.
+        return extract_mesh(self.params, self.cfg.mlp, net=net,
+                            bbox_min=bbox_min, bbox_max=bbox_max,
+                            resolution=resolution, iso=iso, chunk=chunk,
+                            compute_dtype=self.cfg.compute_dtype)
+
     def render_video(self, poses, factor: int = 0,
                      on_frame=None) -> np.ndarray:
         """Render a pose sequence to ``[N, H, W, 3]``, pipelined."""

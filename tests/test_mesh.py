@@ -1,0 +1,188 @@
+"""Mesh extraction: marching tetrahedra + density-grid query + CLI.
+
+The reference has no geometry export (its pipeline ends at images,
+reference main.py:163-176); these tests pin the new surface-extraction
+subsystem against analytic fields and the serving checkpoint contract.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig, apply_nerf
+from cvnerf_tpu.ops.encoding import freq_encode
+from cvnerf_tpu.render.mesh import (_TET_CASES, extract_mesh, main,
+                                    marching_tetrahedra, query_density_grid,
+                                    save_obj)
+from cvnerf_tpu.train.checkpoint import save_checkpoint
+from cvnerf_tpu.train.state import TrainState, create_train_state
+
+TINY = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32, head_width=16)
+
+
+def _sphere_grid(n=41, extent=1.5):
+    ax = np.linspace(-extent, extent, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    grid = 1.0 - np.sqrt(x * x + y * y + z * z)
+    spacing = (ax[1] - ax[0],) * 3
+    return grid, (-extent,) * 3, spacing
+
+
+def test_case_table_derivation():
+    # Empty and full tets emit nothing; isolated-vertex masks emit one
+    # triangle; 2-2 splits emit two. The same crossing-edge SET per mask in
+    # every tet (geometry only affects winding order).
+    assert _TET_CASES.shape == (6, 16, 2, 3)
+    for mask in range(16):
+        n_above = bin(mask).count("1")
+        edge_sets = []
+        for t in range(6):
+            n_tris = int((_TET_CASES[t, mask, :, 0] >= 0).sum())
+            assert n_tris == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0}[n_above]
+            tris = [tri for tri in _TET_CASES[t, mask] if tri[0] >= 0]
+            for tri in tris:
+                assert len(set(tri.tolist())) == 3  # three distinct edges
+            edge_sets.append(frozenset(e for tri in tris for e in tri))
+        assert len(set(edge_sets)) == 1
+
+
+def test_sphere_surface_accuracy():
+    grid, origin, spacing = _sphere_grid()
+    verts, faces = marching_tetrahedra(grid, 0.0, origin, spacing)
+    assert len(verts) > 1000 and len(faces) > 2000
+    radii = np.linalg.norm(verts, axis=1)
+    # Linear interpolation of an exactly-linear radial field: tight.
+    np.testing.assert_allclose(radii, 1.0, atol=0.01)
+    assert faces.min() >= 0 and faces.max() < len(verts)
+
+
+def test_mesh_is_watertight_and_consistently_oriented():
+    grid, origin, spacing = _sphere_grid(n=25)
+    verts, faces = marching_tetrahedra(grid, 0.0, origin, spacing)
+    # Watertight: every undirected edge is shared by exactly two faces.
+    und = np.sort(np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(und, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # Consistent winding: each directed edge appears exactly once (its
+    # reverse lives in the neighboring face).
+    dirs = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    _, dcounts = np.unique(dirs, axis=0, return_counts=True)
+    assert (dcounts == 1).all()
+    # Sphere topology: Euler characteristic V - E + F = 2.
+    assert len(verts) - len(und) // 2 + len(faces) == 2
+    # Outward orientation (density decreases outward).
+    tp = verts[faces]
+    normal = np.cross(tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0])
+    outward = (normal * tp.mean(1)).sum(-1)
+    assert (outward > 0).mean() > 0.99
+
+
+def test_slab_size_does_not_change_mesh():
+    grid, origin, spacing = _sphere_grid(n=17)
+    v1, f1 = marching_tetrahedra(grid, 0.0, origin, spacing, slab=2)
+    v2, f2 = marching_tetrahedra(grid, 0.0, origin, spacing, slab=100)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_empty_and_full_grids_mesh_to_nothing():
+    for fill in (-1.0, 1.0):
+        verts, faces = marching_tetrahedra(
+            np.full((8, 8, 8), fill, np.float32), 0.0)
+        assert verts.shape == (0, 3) and faces.shape == (0, 3)
+
+
+def test_anisotropic_grid_and_nonuniform_spacing():
+    # Ellipsoid via anisotropic spacing: x is sampled twice as coarsely.
+    nx, ny, nz = 15, 29, 29
+    xs = np.linspace(-1.5, 1.5, nx, dtype=np.float32)
+    ys = np.linspace(-1.5, 1.5, ny, dtype=np.float32)
+    zs = np.linspace(-1.5, 1.5, nz, dtype=np.float32)
+    x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
+    grid = 1.0 - np.sqrt(x * x + y * y + z * z)
+    verts, _ = marching_tetrahedra(
+        grid, 0.0, (-1.5, -1.5, -1.5),
+        (xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]))
+    np.testing.assert_allclose(np.linalg.norm(verts, axis=1), 1.0, atol=0.05)
+
+
+def test_query_density_grid_matches_direct_apply():
+    params = create_train_state(jax.random.PRNGKey(3), mlp=TINY).params
+    res, lo, hi = (5, 6, 7), (-1.0, -0.5, 0.0), (1.0, 0.5, 2.0)
+    # chunk=64 does not divide 5*6*7=210 — exercises the padding path.
+    grid = query_density_grid(params["fine"], TINY, lo, hi, res, chunk=64)
+    assert grid.shape == res
+    axes = [np.linspace(lo[a], hi[a], res[a], dtype=np.float32)
+            for a in range(3)]
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    enc = freq_encode(pts, TINY.xyz_freqs)
+    dir_enc = np.zeros((pts.shape[0], TINY.dir_dim), np.float32)
+    want = np.asarray(apply_nerf(params["fine"], enc, dir_enc, TINY))[:, 3]
+    np.testing.assert_allclose(grid.reshape(-1), want, rtol=1e-5, atol=1e-5)
+
+
+def test_density_ignores_view_direction():
+    # The alpha head taps the trunk before the viewdir concat (reference
+    # model.py:100-103) — the zero dir encoding in the grid query is safe.
+    params = create_train_state(jax.random.PRNGKey(4), mlp=TINY).params
+    pts = np.random.RandomState(0).randn(32, 3).astype(np.float32)
+    enc = freq_encode(pts, TINY.xyz_freqs)
+    d0 = np.zeros((32, TINY.dir_dim), np.float32)
+    d1 = np.random.RandomState(1).randn(32, TINY.dir_dim).astype(np.float32)
+    s0 = np.asarray(apply_nerf(params["fine"], enc, d0, TINY))[:, 3]
+    s1 = np.asarray(apply_nerf(params["fine"], enc, d1, TINY))[:, 3]
+    np.testing.assert_array_equal(s0, s1)
+
+
+def test_extract_mesh_validates_net():
+    params = create_train_state(jax.random.PRNGKey(5), mlp=TINY).params
+    with pytest.raises(KeyError):
+        extract_mesh(params, TINY, net="medium", resolution=4)
+
+
+def test_save_obj_roundtrip(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    path = str(tmp_path / "tri.obj")
+    save_obj(path, verts, faces)
+    lines = [ln.split() for ln in open(path) if not ln.startswith("#")]
+    vs = np.array([ln[1:] for ln in lines if ln[0] == "v"], np.float32)
+    fs = np.array([ln[1:] for ln in lines if ln[0] == "f"], np.int32) - 1
+    np.testing.assert_allclose(vs, verts, atol=1e-6)
+    np.testing.assert_array_equal(fs, faces)
+
+
+def test_cli_end_to_end(tmp_path):
+    """cvnerf-mesh --run <dir> on a synthetic run dir writes a valid OBJ."""
+    run_dir = str(tmp_path / "run")
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
+    # Carve a ball of density into the net the cheap way: bias the alpha
+    # head strongly positive and zero its weights, then mesh at an iso the
+    # bias clears — the field is constant, so no surface; instead keep the
+    # random weights and mesh at the field's median so SOME surface exists.
+    save_checkpoint(ckpt_dir, TrainState(params=state.params,
+                                         opt_state=state.opt_state,
+                                         step=7))
+    with open(os.path.join(run_dir, "scene.json"), "w") as fp:
+        json.dump({"height": 8, "width": 8, "focal": 8.0, "near": 2.0,
+                   "far": 6.0, "ndc": False, "ndc_variant": "canonical",
+                   "white_bkg": False, "n_coarse": 4, "n_fine": 4,
+                   "bf16": False, "mlp": {"xyz_freqs": 4, "dir_freqs": 2,
+                                          "trunk_width": 32,
+                                          "head_width": 16}}, fp)
+    grid = query_density_grid(state.params["fine"], TINY,
+                              (-1.5,) * 3, (1.5,) * 3, 16)
+    iso = float(np.median(grid))
+    out = str(tmp_path / "m.obj")
+    rc = main(["--run", run_dir, "--res", "16", "--iso", str(iso),
+               "--out", out])
+    assert rc == 0 and os.path.exists(out)
+    n_v = sum(1 for ln in open(out) if ln.startswith("v "))
+    n_f = sum(1 for ln in open(out) if ln.startswith("f "))
+    assert n_v > 0 and n_f > 0
