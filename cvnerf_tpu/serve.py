@@ -184,7 +184,8 @@ class NerfRenderer:
 
     def extract_mesh(self, *, net: str = "fine", resolution: int = 256,
                      iso: float = 50.0, bound: float = 1.5,
-                     chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+                     chunk: int = 65536,
+                     keep: str = "all") -> tuple[np.ndarray, np.ndarray]:
         """Mesh this checkpoint's density field (see ``render.mesh``).
 
         For NDC-trained runs the sampling box is the NDC frustum box
@@ -204,7 +205,7 @@ class NerfRenderer:
         return extract_mesh(self.params, self.cfg.mlp, net=net,
                             bbox_min=bbox_min, bbox_max=bbox_max,
                             resolution=resolution, iso=iso, chunk=chunk,
-                            compute_dtype=self.cfg.compute_dtype)
+                            compute_dtype=self.cfg.compute_dtype, keep=keep)
 
     def render_video(self, poses, factor: int = 0,
                      on_frame=None) -> np.ndarray:

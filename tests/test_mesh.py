@@ -90,6 +90,33 @@ def test_slab_size_does_not_change_mesh():
     np.testing.assert_array_equal(f1, f2)
 
 
+def test_largest_component_drops_floaters():
+    from cvnerf_tpu.render.mesh import largest_component
+    # Big sphere at origin + a tiny separate blob in a corner.
+    n = 33
+    ax = np.linspace(-1.5, 1.5, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    big = 1.0 - np.sqrt(x * x + y * y + z * z)
+    blob = 0.15 - np.sqrt((x - 1.3) ** 2 + (y - 1.3) ** 2 + (z - 1.3) ** 2)
+    grid = np.maximum(big, blob)
+    sp = (ax[1] - ax[0],) * 3
+    verts, faces = marching_tetrahedra(grid, 0.0, (-1.5,) * 3, sp)
+    kv, kf = largest_component(verts, faces)
+    assert len(kf) < len(faces)                     # something was dropped
+    assert len(kv) < len(verts)
+    # Only the unit sphere remains; every blob vertex sat at radius > 2.
+    np.testing.assert_allclose(np.linalg.norm(kv, axis=1), 1.0, atol=0.05)
+    assert kf.min() >= 0 and kf.max() < len(kv)
+    # Still watertight after reindexing.
+    und = np.sort(np.concatenate(
+        [kf[:, [0, 1]], kf[:, [1, 2]], kf[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(und, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # Empty input passes through.
+    ev, ef = largest_component(verts[:0], faces[:0])
+    assert len(ev) == 0 and len(ef) == 0
+
+
 def test_empty_and_full_grids_mesh_to_nothing():
     for fill in (-1.0, 1.0):
         verts, faces = marching_tetrahedra(
