@@ -233,6 +233,25 @@ def main(argv=None):
 
     val_views, test_views = _split_heldout_views()
 
+    # LPIPS (optional, weights-pluggable): fail fast on a bad path instead
+    # of at the end-of-run eval, and degrade to PSNR/SSIM-only with a
+    # warning when the frames are below the AlexNet minimum support.
+    lpips_bundle = None
+    if args.lpips_weights:
+        from cvnerf_tpu.utils.lpips import load_weights
+        lpips_bundle = load_weights(args.lpips_weights)
+        if min(scene.height, scene.width) < 32:
+            print(f"[WARN] --lpips_weights ignored: {scene.height}x"
+                  f"{scene.width} frames are below the 32px AlexNet-LPIPS "
+                  "minimum")
+            lpips_bundle = None
+
+    def _lpips(rgb, gt) -> float | None:
+        if lpips_bundle is None:
+            return None
+        from cvnerf_tpu.utils.lpips import lpips_images
+        return lpips_images(rgb, np.asarray(gt)[..., :3], lpips_bundle)
+
     def val_metrics(params):
         """Mean PSNR/SSIM over the val views; returns (psnr, ssim, rgb0)."""
         from cvnerf_tpu.render.frames import render_image
@@ -267,9 +286,13 @@ def main(argv=None):
                      for k, i in enumerate(np.asarray(scene.test_idx))]
             ssims = [ssim_images(frames[k], scene.images[int(i)])
                      for k, i in enumerate(np.asarray(scene.test_idx))]
+            lps = [_lpips(frames[k], scene.images[int(i)])
+                   for k, i in enumerate(np.asarray(scene.test_idx))]
+            lp_txt = ("" if lps[0] is None else
+                      f" test_lpips={float(np.mean(lps)):.4f}")
             print(f"render_test @ step {start}: test_psnr="
                   f"{float(np.mean(psnrs)):.3f} "
-                  f"test_ssim={float(np.mean(ssims)):.4f} "
+                  f"test_ssim={float(np.mean(ssims)):.4f}{lp_txt} "
                   f"({len(psnrs)} views)")
         return
 
@@ -387,7 +410,7 @@ def main(argv=None):
         Scores ``test_views`` — disjoint from the validation views when
         the dataset allows it (see ``_split_heldout_views``)."""
         from cvnerf_tpu.render.frames import render_image as _ri
-        psnrs, ssims = [], []
+        psnrs, ssims, lpips_vals = [], [], []
         for i in test_views:
             out = _ri(jax.random.PRNGKey(7), params,
                       scene.height, scene.width, scene.focal,
@@ -398,16 +421,22 @@ def main(argv=None):
             rgb = np.asarray(out["rgb"])
             psnrs.append(psnr_images(rgb, scene.images[int(i)]))
             ssims.append(ssim_images(rgb, scene.images[int(i)]))
-        return float(np.mean(psnrs)), float(np.mean(ssims)), len(psnrs)
+            lp = _lpips(rgb, scene.images[int(i)])
+            if lp is not None:
+                lpips_vals.append(lp)
+        lp_mean = float(np.mean(lpips_vals)) if lpips_vals else None
+        return float(np.mean(psnrs)), float(np.mean(ssims)), len(psnrs), \
+            lp_mean
 
     if best_writer is not None:
         best_writer.close()          # waits for in-flight async saves;
         # closed unconditionally — a run too short to ever fire val_cb
         # must not leak the manager's background threads.
     if len(test_views):
-        p, s, n = test_eval(trainer.state.params)
+        p, s, n, lp = test_eval(trainer.state.params)
+        extra = {} if lp is None else {"test_lpips": lp}
         logger.log(int(trainer.state.step), test_psnr=p, test_ssim=s,
-                   test_views=n)
+                   test_views=n, **extra)
         if best_writer is not None and best["step"] is not None:
             # Score the deployable (best-val) model too.
             restored = restore_checkpoint(ckpt_dir + "_best", state)
@@ -416,11 +445,12 @@ def main(argv=None):
                 if n_dev > 1:
                     from cvnerf_tpu.parallel.mesh import replicate_to_mesh
                     params_best = replicate_to_mesh(params_best, mesh)
-                pb, sb, nb = test_eval(params_best)
+                pb, sb, nb, lpb = test_eval(params_best)
+                extra = {} if lpb is None else {"test_lpips_best": lpb}
                 logger.log(int(trainer.state.step), test_psnr_best=pb,
                            test_ssim_best=sb,
                            best_step=int(best["step"]),
-                           best_val_psnr=best["psnr"])
+                           best_val_psnr=best["psnr"], **extra)
                 print(f"Best-val model (step {best['step']}): "
                       f"test_psnr={pb:.3f} test_ssim={sb:.4f} "
                       f"(final-step model: {p:.3f}/{s:.4f})")

@@ -130,6 +130,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "192-wide sort). --no-sorted_resample restores the "
                         "reference-shaped iid-draws-then-sort stream "
                         "(reference main.py:251)")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="path to an LPIPS weight bundle (.npz, see "
+                        "cvnerf_tpu.utils.lpips.export_weights_script); "
+                        "when given, held-out evals also report LPIPS "
+                        "alongside PSNR/SSIM")
     p.add_argument("--debug_nans", action=argparse.BooleanOptionalAction, default=False,
                    help="enable jax_debug_nans")
     p.add_argument("--profile_dir", type=str, default=None,

@@ -347,3 +347,44 @@ def test_empty_val_split_skips_val_metric(tmp_path):
     # logged — but only when a held-out view exists; here test exists, so
     # the fallback applies and the run must not crash.
     assert any("loss" in r for r in recs)
+
+
+def test_lpips_weights_flag(tmp_path):
+    """--lpips_weights adds test_lpips to the metrics stream (and degrades
+    with a warning, not a crash, below the 32px AlexNet minimum)."""
+    from fixtures import make_blender_dataset
+    import main as cli
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_lpips import _random_bundle
+    wpath = str(tmp_path / "lpips.npz")
+    _random_bundle(path=wpath)
+
+    d = str(tmp_path / "scene40")
+    make_blender_dataset(d, n_train=3, n_val=1, n_test=1, h=40, w=40)
+    logdir = str(tmp_path / "logs_lpips")
+    base = ["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+            "--name", "lp", *TINY_FLAGS, "--iters", "6", "--ckpt_freq", "0",
+            "--lpips_weights", wpath]
+    cli.main(base)
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "lp", "metrics.jsonl"))]
+    vals = [r["test_lpips"] for r in recs if "test_lpips" in r]
+    assert vals and np.isfinite(vals[-1]) and vals[-1] >= 0
+
+    # Below the minimum support (24px): metric skipped, run completes.
+    d2 = str(tmp_path / "scene24")
+    make_blender_dataset(d2, n_train=3, n_val=1, n_test=1, h=24, w=24)
+    cli.main(["--data_dir", d2, "--base_dir", logdir, "--save_dir", logdir,
+              "--name", "lp24", *TINY_FLAGS, "--iters", "6",
+              "--ckpt_freq", "0", "--lpips_weights", wpath])
+    recs = [json.loads(l)
+            for l in open(os.path.join(logdir, "lp24", "metrics.jsonl"))]
+    assert any("test_psnr" in r for r in recs)
+    assert not any("test_lpips" in r for r in recs)
+
+    # A bad path fails fast, before training starts.
+    with pytest.raises(FileNotFoundError):
+        cli.main(["--data_dir", d, "--base_dir", logdir,
+                  "--save_dir", logdir, "--name", "lpbad", *TINY_FLAGS,
+                  "--iters", "6", "--ckpt_freq", "0",
+                  "--lpips_weights", str(tmp_path / "nope.npz")])
