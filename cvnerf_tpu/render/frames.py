@@ -39,7 +39,8 @@ def render_image(key: jax.Array,
                  ndc: bool = False,
                  ndc_variant: str = "canonical",
                  chunk: int = 4096,
-                 mesh=None) -> dict:
+                 mesh=None,
+                 occupancy=None) -> dict:
     """Render one ``[H, W]`` frame from a camera pose.
 
     Matches reference ``render(c2w=...)`` semantics (``main.py:49-87``):
@@ -57,7 +58,8 @@ def render_image(key: jax.Array,
                                   variant=ndc_variant)
 
     out = render_rays_chunked(key, params, rays_o, rays_d, viewdirs,
-                              near, far, cfg, chunk=chunk, mesh=mesh)
+                              near, far, cfg, chunk=chunk, mesh=mesh,
+                              occupancy=occupancy)
     return jax.tree.map(
         lambda x: x.reshape(height, width, *x.shape[1:]), out)
 
@@ -124,7 +126,8 @@ def render_poses_to_frames(key: jax.Array,
                            factor: int = 0,
                            on_frame: Callable[[int, np.ndarray], None] | None = None,
                            mesh=None,
-                           frame_keys: tuple[str, ...] = ("rgb",)):
+                           frame_keys: tuple[str, ...] = ("rgb",),
+                           occupancy=None):
     """Render a pose sequence to ``[N, H, W, 3]`` uint8-ready float frames.
 
     Reference parity: ``render_full`` (``main.py:102-124``), including the
@@ -175,7 +178,8 @@ def render_poses_to_frames(key: jax.Array,
         c2w = jnp.asarray(pose)[:3, :4]
         out = render_image(keys[i], params, height, width, float(focal), c2w,
                            float(near), float(far), cfg, ndc=ndc,
-                           ndc_variant=ndc_variant, chunk=chunk, mesh=mesh)
+                           ndc_variant=ndc_variant, chunk=chunk, mesh=mesh,
+                           occupancy=occupancy)
         pending.append((i, out))
         if len(pending) > 1:  # keep one frame in flight
             drain(pending.pop(0))

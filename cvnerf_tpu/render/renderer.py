@@ -47,6 +47,13 @@ class RenderConfig:
     # log2-stage bitonic merge instead of a 192-wide sort. False restores
     # the reference-shaped iid-draws-then-sort stream (main.py:251).
     sorted_resample: bool = True
+    # Occupancy-grid serving (render.occupancy; active only when a baked
+    # grid is passed to the render call): "merge" keeps the reference fine
+    # pass (probe depths merged with the resample — n_coarse + n_fine MLP
+    # evals), "full" draws ALL fine samples from the probe CDF and skips
+    # the merge (n_fine evals only — half the MLP work of the reference
+    # pipeline at n_coarse=64/n_fine=128).
+    occupancy_mode: str = "merge"
     mlp: NerfMLPConfig = NerfMLPConfig()
     compute_dtype: Any = jnp.float32
     # MLP execution path: "auto" uses the fused Pallas kernel on TPU and the
@@ -135,7 +142,8 @@ def render_rays(key: jax.Array,
                 far: jnp.ndarray,
                 cfg: RenderConfig,
                 ray_ids: jnp.ndarray | None = None,
-                noise_scale: jnp.ndarray | float = 1.0) -> dict:
+                noise_scale: jnp.ndarray | float = 1.0,
+                occupancy=None) -> dict:
     """Hierarchical volume render of a ray batch.
 
     Args:
@@ -155,6 +163,12 @@ def render_rays(key: jax.Array,
             trainer's ``--noise_decay`` annealing; 1.0 = the reference's
             constant-noise behavior, main.py:186-191). Only meaningful when
             ``cfg.noise_std > 0``.
+        occupancy: optional baked ``OccupancyGrid`` (serving-only,
+            ``render.occupancy``): the coarse MLP pass is replaced by a
+            grid probe at the same stratified depths — identical fine-pass
+            structure and RNG stream, 25% fewer MLP evaluations. The
+            returned ``rgb_coarse`` aliases the fine map (no coarse image
+            exists on this path).
     Returns:
         dict with ``rgb`` (fine map), ``rgb_coarse``, plus the fine pass's
         ``acc`` (accumulated opacity) and ``depth`` (expected termination
@@ -170,16 +184,29 @@ def render_rays(key: jax.Array,
     t_coarse = stratified_samples(None, near, far, cfg.n_coarse, n_rays,
                                   cfg.perturb, u=u_strat)
     points = rays_o[..., None, :] + rays_d[..., None, :] * t_coarse[..., :, None]
-    raw = _query_mlp(params["coarse"], points, viewdirs, cfg)
-    noise_c = (_per_ray_normal(key, 3, ray_ids, cfg.n_coarse) * noise_scale
-               if cfg.noise_std > 0 else None)
-    coarse = volume_render(raw, t_coarse, rays_d,
-                           noise_std=cfg.noise_std,
-                           white_bkg=cfg.white_bkg, noise=noise_c)
+    if occupancy is not None:
+        # Probe the baked grid for resample weights: one gather per
+        # sample point, no coarse MLP, no coarse image.
+        from cvnerf_tpu.render.occupancy import occupancy_sigma
+        sigma = occupancy_sigma(occupancy, points)
+        raw = jnp.concatenate(
+            [jnp.zeros((*sigma.shape, 3), sigma.dtype), sigma[..., None]],
+            axis=-1)
+        coarse = volume_render(raw, t_coarse, rays_d, noise_std=0.0,
+                               white_bkg=cfg.white_bkg, noise=None)
+    else:
+        raw = _query_mlp(params["coarse"], points, viewdirs, cfg)
+        noise_c = (_per_ray_normal(key, 3, ray_ids, cfg.n_coarse)
+                   * noise_scale if cfg.noise_std > 0 else None)
+        coarse = volume_render(raw, t_coarse, rays_d,
+                               noise_std=cfg.noise_std,
+                               white_bkg=cfg.white_bkg, noise=noise_c)
 
     # --- Fine pass (reference main.py:247-257; runs unconditionally even at
     # n_fine == 0, where it re-evaluates the fine net on the coarse depths —
     # SURVEY.md §2.3-4) ---
+    occ_full = (occupancy is not None and cfg.occupancy_mode == "full"
+                and cfg.n_fine > 0)
     if cfg.n_fine > 0:
         mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
         presorted = cfg.sorted_resample or cfg.deterministic_resample
@@ -195,7 +222,15 @@ def render_rays(key: jax.Array,
                            deterministic=cfg.deterministic_resample,
                            u=u_pdf)
         t_new = jax.lax.stop_gradient(t_new)  # reference detaches (main.py:250)
-        if presorted:
+        if occ_full:
+            # Full occupancy sampling: every fine sample comes from the
+            # probe CDF; the probe depths are NOT merged into the fine
+            # MLP pass (they carried no learned color/density to reuse),
+            # so the network runs on n_fine points instead of
+            # n_coarse + n_fine — half the evals at the reference shape.
+            t_fine = (t_new if presorted
+                      else jnp.sort(t_new, axis=-1))
+        elif presorted:
             # u ascending → inverse-CDF output ascending → merge, not sort
             # (reference main.py:251 sort-merge semantics, same result).
             from cvnerf_tpu.ops.sampling import merge_sorted
@@ -216,7 +251,8 @@ def render_rays(key: jax.Array,
 
     return {
         "rgb": fine["rgb"],
-        "rgb_coarse": coarse["rgb"],
+        "rgb_coarse": (fine["rgb"] if occupancy is not None
+                       else coarse["rgb"]),
         "acc": fine["acc"],
         "depth": fine["depth"],
     }
@@ -231,7 +267,8 @@ def render_rays_chunked(key: jax.Array,
                         far: float,
                         cfg: RenderConfig,
                         chunk: int = 4096,
-                        mesh=None) -> dict:
+                        mesh=None,
+                        occupancy=None) -> dict:
     """Memory-bounded render of a large flat ray batch, inside jit.
 
     ``lax.map`` over ``[n_chunks, chunk, ...]`` reshaped rays: one compiled
@@ -261,27 +298,28 @@ def render_rays_chunked(key: jax.Array,
     ids = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
         n_chunks, chunk)
 
-    def chunk_render(p, o, d, v, i):
+    def chunk_render(p, occ, o, d, v, i):
         m = o.shape[0]
         return render_rays(key, p, o, d, v,
                            jnp.full((m,), near, jnp.float32),
                            jnp.full((m,), far, jnp.float32), cfg,
-                           ray_ids=i)
+                           ray_ids=i, occupancy=occ)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         from cvnerf_tpu.parallel.mesh import RAY_AXIS
+        # params and the occupancy table are replicated; rays shard.
         sharded = jax.shard_map(
             chunk_render, mesh=mesh,
-            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+            in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
                       P(RAY_AXIS)),
             out_specs=P(RAY_AXIS), check_vma=False)
 
         def one(args):
-            return sharded(params, *args)
+            return sharded(params, occupancy, *args)
     else:
         def one(args):
-            return chunk_render(params, *args)
+            return chunk_render(params, occupancy, *args)
 
     out = jax.lax.map(one, (ro, rd, vd, ids))
     return jax.tree.map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n],

@@ -121,6 +121,7 @@ class NerfRenderer:
             # multihost-safe replication (host-local assembly under
             # multi-process JAX; plain device_put otherwise)
             self.params = replicate_to_mesh(self.params, self.mesh)
+        self.occupancy = None
 
     @classmethod
     def from_run_dir(cls, run_dir: str, *,
@@ -179,8 +180,41 @@ class NerfRenderer:
                            jnp.asarray(c2w)[:3, :4], self.near, self.far,
                            self.cfg, ndc=self.ndc,
                            ndc_variant=self.ndc_variant, chunk=self.chunk,
-                           mesh=self.mesh)
+                           mesh=self.mesh, occupancy=self.occupancy)
         return {k: np.asarray(out[k]) for k in keys}
+
+    def enable_occupancy(self, *, resolution: int = 192, dilate: int = 1,
+                         bound: float = 1.5,
+                         mode: str = "merge") -> "NerfRenderer":
+        """Bake an occupancy grid and serve all renders through it.
+
+        Replaces the coarse MLP pass with a density-grid probe
+        (``render.occupancy``). ``mode="merge"`` keeps the reference fine
+        pass (25% fewer MLP evals); ``mode="full"`` additionally draws all
+        fine samples from the probe CDF without merging the probe depths
+        (half the MLP evals). Measured deltas in BASELINE.md. The bake
+        itself is one grid query (~seconds); it reflects the *current*
+        checkpoint — re-enable after loading different weights. Returns
+        self for chaining.
+        """
+        if mode not in ("merge", "full"):
+            raise ValueError(f"mode must be 'merge' or 'full', got {mode!r}")
+        self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode)
+        from cvnerf_tpu.render.occupancy import bake_occupancy
+        if self.ndc:
+            bbox_min, bbox_max = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+        else:
+            bbox_min, bbox_max = (-bound,) * 3, (bound,) * 3
+        net = "fine" if self.cfg.n_fine > 0 else "coarse"
+        # Bake from the host view of the params (works replicated or not).
+        occ = bake_occupancy(
+            jax.tree.map(np.asarray, self.params[net]), self.cfg.mlp,
+            bbox_min, bbox_max, resolution=resolution, dilate=dilate,
+            compute_dtype=self.cfg.compute_dtype)
+        if self.mesh is not None:
+            occ = replicate_to_mesh(occ, self.mesh)
+        self.occupancy = occ
+        return self
 
     def extract_mesh(self, *, net: str = "fine", resolution: int = 256,
                      iso: float = 50.0, bound: float = 1.5,
@@ -214,4 +248,4 @@ class NerfRenderer:
             self._key, self.params, poses, self.height, self.width,
             self.focal, self.near, self.far, self.cfg, ndc=self.ndc,
             ndc_variant=self.ndc_variant, chunk=self.chunk, factor=factor,
-            on_frame=on_frame, mesh=self.mesh)
+            on_frame=on_frame, mesh=self.mesh, occupancy=self.occupancy)
