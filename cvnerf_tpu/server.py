@@ -290,6 +290,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=8192)
     p.add_argument("--stochastic", action="store_true",
                    help="reference-style stochastic eval resampling")
+    p.add_argument("--occupancy", default=None,
+                   choices=["merge", "full"],
+                   help="bake an occupancy grid at startup and serve "
+                        "renders through it (render.occupancy): 'merge' "
+                        "drops the coarse MLP (+0.1 dB, 1.15x), 'full' "
+                        "also draws all fine samples from the grid CDF "
+                        "(1.56x at -0.05 dB measured; BASELINE.md)")
+    p.add_argument("--occupancy_res", type=int, default=192,
+                   help="occupancy lattice resolution per axis")
+    p.add_argument("--occupancy_bound", type=float, default=1.5,
+                   help="half-width of the bake cube for non-NDC scenes")
     # ndc flags default to None so --run can detect (and reject) explicit
     # overrides; without --run, None resolves to False/"canonical".
     p.add_argument("--ndc", action=argparse.BooleanOptionalAction,
@@ -333,6 +344,12 @@ def renderer_from_args(args) -> NerfRenderer:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     renderer = renderer_from_args(args)
+    if args.occupancy:
+        renderer.enable_occupancy(resolution=args.occupancy_res,
+                                  bound=args.occupancy_bound,
+                                  mode=args.occupancy)
+        print(f"occupancy grid active: mode={args.occupancy} "
+              f"res={args.occupancy_res}")
     srv = make_server(renderer, args.host, args.port)
     print(f"serving checkpoint step {renderer.step} on "
           f"http://{args.host}:{srv.server_address[1]}")

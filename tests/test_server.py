@@ -370,3 +370,36 @@ def test_renderer_ndc_changes_output(tmp_path):
     b = NerfRenderer(d, ndc=True, **kw).render_pose(pose)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.allclose(a, b)
+
+
+def test_server_with_occupancy(tmp_path):
+    """The HTTP surface works with the occupancy grid active (both modes),
+    and --occupancy wires through the CLI parser."""
+    import threading as _t
+    import urllib.request as _u
+    d = str(tmp_path / "ckpt")
+    state = create_train_state(jax.random.PRNGKey(2), mlp=TINY)
+    params = state.params
+    for net in ("coarse", "fine"):
+        params[net]["alpha"]["b"] = params[net]["alpha"]["b"] + 1.0
+    save_checkpoint(d, TrainState(params=params, opt_state=state.opt_state,
+                                  step=3))
+    r = NerfRenderer(d, height=10, width=10, focal=10.0, near=2.0, far=6.0,
+                     cfg=RenderConfig(n_coarse=4, n_fine=4, mlp=TINY),
+                     chunk=100, use_mesh=False)
+    r.enable_occupancy(resolution=17, mode="full")
+    srv = make_server(r, "127.0.0.1", 0)
+    t = _t.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        with _post(url + "/render", {"c2w": POSE, "format": "json"}) as resp:
+            body = json.loads(resp.read())
+        rgb = np.asarray(body["rgb"])
+        assert rgb.shape == (10, 10, 3) and np.isfinite(rgb).all()
+    finally:
+        srv.shutdown()
+
+    from cvnerf_tpu.server import build_parser
+    args = build_parser().parse_args(["--ckpt", d, "--occupancy", "full"])
+    assert args.occupancy == "full" and args.occupancy_res == 192
