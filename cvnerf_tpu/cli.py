@@ -165,7 +165,7 @@ def main(argv=None):
 
     render_chunk = args.chunk
 
-    def spiral_video(step: int, params) -> np.ndarray:
+    def spiral_video(step: int, params, occupancy=None) -> np.ndarray:
         frame_dir = os.path.join(save_dir, f"spiral_{step:06d}")
 
         def on_frame(i, rgb):
@@ -178,7 +178,7 @@ def main(argv=None):
             rcfg_test, ndc=scene.ndc, ndc_variant=args.ndc_variant,
             chunk=render_chunk, factor=args.render_factor,
             on_frame=on_frame, mesh=mesh if n_dev > 1 else None,
-            frame_keys=keys)
+            frame_keys=keys, occupancy=occupancy)
         frames = out_frames if not args.render_depth else out_frames["rgb"]
         out = write_video(
             os.path.join(save_dir, f"{args.name}_spiral_{step:06d}_rgb.mp4"),
@@ -278,7 +278,25 @@ def main(argv=None):
         if n_dev > 1:
             from cvnerf_tpu.parallel.mesh import replicated_sharding
             params = jax.device_put(params, replicated_sharding(mesh))
-        frames = spiral_video(start, params)
+        occ = None
+        if args.occupancy:
+            import dataclasses
+            from cvnerf_tpu.render.occupancy import bake_occupancy
+            if scene.ndc:
+                bb_min, bb_max = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+            else:
+                b = args.occupancy_bound
+                bb_min, bb_max = (-b,) * 3, (b,) * 3
+            net = "fine" if args.n_fine_samples > 0 else "coarse"
+            occ = bake_occupancy(
+                jax.tree.map(np.asarray, state.params[net]), mlp,
+                bb_min, bb_max, resolution=args.occupancy_res,
+                compute_dtype=rcfg_test.compute_dtype)
+            rcfg_test = dataclasses.replace(rcfg_test,
+                                            occupancy_mode=args.occupancy)
+            print(f"occupancy grid active: mode={args.occupancy} "
+                  f"res={args.occupancy_res}")
+        frames = spiral_video(start, params, occupancy=occ)
         if args.render_test and not args.render_factor:
             # Rendering the held-out poses at full resolution: report the
             # test metrics too (the render IS the evaluation).

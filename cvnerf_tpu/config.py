@@ -130,6 +130,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "192-wide sort). --no-sorted_resample restores the "
                         "reference-shaped iid-draws-then-sort stream "
                         "(reference main.py:251)")
+    p.add_argument("--occupancy", type=str, default=None,
+                   choices=["merge", "full"],
+                   help="render_only acceleration: bake an occupancy grid "
+                        "from the restored checkpoint and render the pose "
+                        "sequence through it (render.occupancy; 'full' "
+                        "measured 1.56x at -0.05 dB — BASELINE.md). "
+                        "Ignored during training (the coarse net is "
+                        "part of the learned model there)")
+    p.add_argument("--occupancy_res", type=int, default=192,
+                   help="occupancy lattice resolution per axis")
+    p.add_argument("--occupancy_bound", type=float, default=1.5,
+                   help="half-width of the occupancy bake cube for "
+                        "non-NDC scenes (NDC scenes use the NDC box)")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="path to an LPIPS weight bundle (.npz, see "
                         "cvnerf_tpu.utils.lpips.export_weights_script); "

@@ -388,3 +388,18 @@ def test_lpips_weights_flag(tmp_path):
                   "--save_dir", logdir, "--name", "lpbad", *TINY_FLAGS,
                   "--iters", "6", "--ckpt_freq", "0",
                   "--lpips_weights", str(tmp_path / "nope.npz")])
+
+
+def test_render_only_with_occupancy(blender_dir, tmp_path):
+    """--render_only --occupancy full: bakes a grid from the checkpoint and
+    renders the spiral through it (under the test mesh)."""
+    import main as cli
+    logdir = str(tmp_path / "logs_occ")
+    base = ["--data_dir", blender_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "occ", *TINY_FLAGS]
+    cli.main([*base, "--iters", "6", "--ckpt_freq", "5"])
+    cli.main([*base, "--render_only", "--render_factor", "4",
+              "--occupancy", "full", "--occupancy_res", "17",
+              "--iters", "6"])
+    run_dir = os.path.join(logdir, "occ")
+    assert [f for f in os.listdir(run_dir) if "spiral" in f]
