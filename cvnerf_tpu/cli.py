@@ -296,6 +296,23 @@ def main(argv=None):
                                             occupancy_mode=args.occupancy)
             print(f"occupancy grid active: mode={args.occupancy} "
                   f"res={args.occupancy_res}")
+        if args.int8:
+            from cvnerf_tpu.ops.quantize import (quantize_nerf,
+                                                 ray_calibration_samples)
+            # Calibrate on real rays through every pose the run knows
+            # about — the exact distribution the renders will query.
+            pts, dirs = ray_calibration_samples(
+                jax.random.PRNGKey(0), args.int8_calib, scene.poses,
+                scene.height, scene.width, scene.focal, scene.near,
+                scene.far, ndc=scene.ndc, ndc_variant=args.ndc_variant)
+            host = jax.tree.map(np.asarray, state.params)
+            params = {k: quantize_nerf(host[k], mlp, pts, dirs)
+                      for k in host}
+            if n_dev > 1:
+                from cvnerf_tpu.parallel.mesh import replicated_sharding
+                params = jax.device_put(params, replicated_sharding(mesh))
+            print(f"int8 quantized rendering active "
+                  f"(calibrated on {args.int8_calib} ray samples)")
         frames = spiral_video(start, params, occupancy=occ)
         if args.render_test and not args.render_factor:
             # Rendering the held-out poses at full resolution: report the

@@ -143,6 +143,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occupancy_bound", type=float, default=1.5,
                    help="half-width of the occupancy bake cube for "
                         "non-NDC scenes (NDC scenes use the NDC box)")
+    p.add_argument("--int8", action="store_true",
+                   help="render_only acceleration: post-training-quantize "
+                        "the restored nets to int8 and render through the "
+                        "fused int8 MXU kernel (ops.quantize; composes "
+                        "with --occupancy; measured deltas in BASELINE.md)."
+                        " Ignored during training")
+    p.add_argument("--int8_calib", type=int, default=1 << 17,
+                   help="calibration sample count for --int8")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="path to an LPIPS weight bundle (.npz, see "
                         "cvnerf_tpu.utils.lpips.export_weights_script); "

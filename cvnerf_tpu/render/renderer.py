@@ -84,7 +84,31 @@ def _query_mlp(params: dict, points: jnp.ndarray, viewdirs: jnp.ndarray,
     no flatten/chunk round-trips. On TPU this runs the fused Pallas
     encode→MLP kernel (ops/pallas) with its custom VJP; elsewhere the jnp
     oracle, whose encoding XLA fuses into the first matmul's operand.
+
+    Passing :class:`~cvnerf_tpu.ops.quantize.QuantizedNerfParams` instead
+    of a float pytree routes through the int8 serving path (the Pallas
+    int8 kernel on TPU, the jnp int8 oracle elsewhere) — quantization is a
+    param transform, dispatched by type like the occupancy grid.
     """
+    from cvnerf_tpu.ops.quantize import QuantizedNerfParams
+    if isinstance(params, QuantizedNerfParams):
+        if cfg.resolve_pallas():
+            from cvnerf_tpu.ops.pallas.fused_mlp_int8 import (
+                fused_nerf_apply_int8)
+            n_rays, n_samples = points.shape[:2]
+            pts_flat = points.reshape(-1, 3)
+            dirs_flat = jnp.broadcast_to(
+                viewdirs[:, None, :], (n_rays, n_samples, 3)).reshape(-1, 3)
+            raw = fused_nerf_apply_int8(params, pts_flat, dirs_flat, cfg.mlp,
+                                        interpret=cfg.pallas == "interpret")
+            return raw.reshape(n_rays, n_samples, 4)
+        from cvnerf_tpu.ops.quantize import apply_nerf_quant
+        xyz_enc = freq_encode(points, cfg.mlp.xyz_freqs)
+        dir_enc = freq_encode(viewdirs, cfg.mlp.dir_freqs)
+        dir_enc = jnp.broadcast_to(dir_enc[..., None, :],
+                                   (*points.shape[:-1], dir_enc.shape[-1]))
+        return apply_nerf_quant(params, xyz_enc, dir_enc, cfg.mlp)
+
     if cfg.resolve_pallas():
         from cvnerf_tpu.ops.pallas import fused_nerf_train_apply
         n_rays, n_samples = points.shape[:2]

@@ -122,6 +122,11 @@ class NerfRenderer:
             # multi-process JAX; plain device_put otherwise)
             self.params = replicate_to_mesh(self.params, self.mesh)
         self.occupancy = None
+        # Float master copy: enable_int8 swaps self.params for quantized
+        # ones, but the occupancy bake and mesh extraction query the float
+        # net — they read from here (always set, so ordering of enable_*
+        # calls never matters).
+        self._float_params = self.params
 
     @classmethod
     def from_run_dir(cls, run_dir: str, *,
@@ -208,12 +213,62 @@ class NerfRenderer:
         net = "fine" if self.cfg.n_fine > 0 else "coarse"
         # Bake from the host view of the params (works replicated or not).
         occ = bake_occupancy(
-            jax.tree.map(np.asarray, self.params[net]), self.cfg.mlp,
+            jax.tree.map(np.asarray, self._float_params[net]), self.cfg.mlp,
             bbox_min, bbox_max, resolution=resolution, dilate=dilate,
             compute_dtype=self.cfg.compute_dtype)
         if self.mesh is not None:
             occ = replicate_to_mesh(occ, self.mesh)
         self.occupancy = occ
+        return self
+
+    def enable_int8(self, *, poses=None, n_calib: int = 1 << 17,
+                    bound: float | None = None,
+                    seed: int = 0) -> "NerfRenderer":
+        """Quantize the loaded nets to int8 and serve all renders with them.
+
+        Post-training symmetric quantization (``ops.quantize``): weights
+        AND activations carry per-channel scales, calibrated max-abs over
+        ``n_calib`` samples. On TPU renders then run the fused int8 Pallas
+        kernel (``ops/pallas/fused_mlp_int8.py``) — the v5e's int8 MXU rate
+        is 2× bf16 (measured deltas in BASELINE.md); elsewhere the jnp int8
+        oracle. Composes with :meth:`enable_occupancy` in either order (the
+        bake always reads the float master copy). Opt-in per deployment,
+        like the occupancy grid: checkpoints are untouched, and reloading
+        weights requires re-enabling. Returns self for chaining.
+
+        Args:
+            poses: optional ``[P, 3+, 4]`` c2w poses (e.g. the pose set you
+                will serve) — calibration then samples REAL rays through
+                this camera set, the exact query distribution. Without
+                poses, samples uniformly in a ``±bound`` cube
+                (``bound=None`` → ``far``, a superset of every reachable
+                point — under-sized bounds clip the position encoding and
+                cost dB; NDC scenes always use the NDC box).
+        """
+        from cvnerf_tpu.ops.quantize import (calibration_samples,
+                                             quantize_nerf_params,
+                                             calibrate_nerf_quant,
+                                             ray_calibration_samples)
+        key = jax.random.PRNGKey(seed)
+        if poses is not None:
+            pts, dirs = ray_calibration_samples(
+                key, n_calib, poses, self.height, self.width, self.focal,
+                self.near, self.far, ndc=self.ndc,
+                ndc_variant=self.ndc_variant)
+        elif self.ndc:
+            pts, dirs = calibration_samples(
+                key, n_calib, (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0))
+        else:
+            b = self.far if bound is None else bound
+            pts, dirs = calibration_samples(key, n_calib, (-b,) * 3,
+                                            (b,) * 3)
+        host = jax.tree.map(np.asarray, self._float_params)
+        qs = {k: quantize_nerf_params(
+                  host[k], self.cfg.mlp,
+                  calibrate_nerf_quant(host[k], self.cfg.mlp, pts, dirs))
+              for k in host}
+        self.params = (replicate_to_mesh(qs, self.mesh)
+                       if self.mesh is not None else jax.device_put(qs))
         return self
 
     def extract_mesh(self, *, net: str = "fine", resolution: int = 256,
@@ -236,7 +291,7 @@ class NerfRenderer:
             net = "coarse"
         # Serving params may be mesh-replicated jax arrays; extraction only
         # reads them, which works for either placement.
-        return extract_mesh(self.params, self.cfg.mlp, net=net,
+        return extract_mesh(self._float_params, self.cfg.mlp, net=net,
                             bbox_min=bbox_min, bbox_max=bbox_max,
                             resolution=resolution, iso=iso, chunk=chunk,
                             compute_dtype=self.cfg.compute_dtype, keep=keep)

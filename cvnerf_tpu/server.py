@@ -301,6 +301,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,
                    help="half-width of the bake cube for non-NDC scenes")
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the nets to int8 at startup and serve "
+                        "through the fused int8 MXU kernel (ops.quantize; "
+                        "composes with --occupancy; measured speed/quality "
+                        "deltas in BASELINE.md)")
+    p.add_argument("--int8_calib", type=int, default=1 << 17,
+                   help="calibration sample count for --int8")
     # ndc flags default to None so --run can detect (and reject) explicit
     # overrides; without --run, None resolves to False/"canonical".
     p.add_argument("--ndc", action=argparse.BooleanOptionalAction,
@@ -350,6 +357,11 @@ def main(argv=None):
                                   mode=args.occupancy)
         print(f"occupancy grid active: mode={args.occupancy} "
               f"res={args.occupancy_res}")
+    if args.int8:
+        renderer.enable_int8(n_calib=args.int8_calib,
+                             bound=args.occupancy_bound)
+        print(f"int8 quantized serving active "
+              f"(calibrated on {args.int8_calib} samples)")
     srv = make_server(renderer, args.host, args.port)
     print(f"serving checkpoint step {renderer.step} on "
           f"http://{args.host}:{srv.server_address[1]}")
