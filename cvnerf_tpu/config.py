@@ -144,11 +144,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="half-width of the occupancy bake cube for "
                         "non-NDC scenes (NDC scenes use the NDC box)")
     p.add_argument("--int8", action="store_true",
-                   help="render_only acceleration: post-training-quantize "
-                        "the restored nets to int8 and render through the "
-                        "fused int8 MXU kernel (ops.quantize; composes "
-                        "with --occupancy; measured deltas in BASELINE.md)."
-                        " Ignored during training")
+                   help="render_only: post-training-quantize the restored "
+                        "nets to int8 and render through the fused int8 "
+                        "kernel (ops.quantize; composes with --occupancy). "
+                        "EXPERIMENTAL quality/memory trade: measured "
+                        "slightly SLOWER than bf16 on v5e at -0.85 dB "
+                        "(BASELINE.md). Ignored during training")
     p.add_argument("--int8_calib", type=int, default=1 << 17,
                    help="calibration sample count for --int8")
     p.add_argument("--lpips_weights", type=str, default=None,

@@ -2,10 +2,29 @@
 
 The int8 sibling of ``fused_mlp.py``: same transposed ``[channels, T]``
 layout, same bit-exact mantissa-split frequency encoding, but every dense
-layer runs as an int8×int8→int32 MXU dot — the v5e executes these at twice
-the bf16 rate (measured on this chip: 151-166 TOPS for the dependent
-12×[256,256] chain vs the bf16 kernel's ~129 TF/s against a 134-136 TF/s
-bf16 chain ceiling). Weights/scales arrive pre-quantized as
+layer runs as an int8×int8→int32 MXU dot.
+
+**Measured verdict (real v5e): int8 does NOT beat bf16 end-to-end.** The
+isolated dependent 12×[256,256] int8 chain hits 151-166 TOPS (≈2× the
+134-136 TF/s bf16 chain ceiling), but the *full* kernel measures
+**93-95 TOPS = 0.76-0.78×** the bf16 kernel's 118-121 TF/s
+(`scripts/int8_kernel_ab.py`, interleaved in-process). Two causes, both
+pinned by on-chip probes: (a) Mosaic only fast-paths int8 dots with the
+activation as the left row-major operand — ``x[T,in] @ W[in,out]`` runs
+151 TOPS vs 97.8 for this kernel's transposed ``W[out,in] @ x[in,T]`` —
+and (b) the per-layer requantization epilogue (f32 ``acc*s+b`` → round →
+clip → int8 cast) costs ~40% even in the fast orientation (a synthetic
+row-major chain *with* epilogues sustains only 92.8-98 TOPS, pad-shape
+insensitive). A complete row-major redesign (encoding hoisted out of the
+kernel, pure int8 GEMM pipeline, weights consumed ``[in, out]`` as
+stored) was built and measured WORSE end-to-end — 52 TF/s = 0.44× — so
+this transposed variant is the one kept. Best case with a free epilogue
+would be ~1.25×, and the measured epilogue alone erases that: int8 here
+is a quality/memory trade (−0.85 dB, near the per-channel PTQ floor per
+the error-attribution probe), not a speed play. ``--int8`` stays opt-in
+and its help text says so.
+
+Weights/scales arrive pre-quantized as
 :class:`~cvnerf_tpu.ops.quantize.QuantizedNerfParams` (calibrated
 post-training quantization; see that module for the scheme); this kernel
 reproduces every int8 activation and head accumulator of

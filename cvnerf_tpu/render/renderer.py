@@ -92,7 +92,11 @@ def _query_mlp(params: dict, points: jnp.ndarray, viewdirs: jnp.ndarray,
     """
     from cvnerf_tpu.ops.quantize import QuantizedNerfParams
     if isinstance(params, QuantizedNerfParams):
-        if cfg.resolve_pallas():
+        # The int8 kernel tiles int8 as (32, 128): odd architectures fall
+        # back to the jnp oracle instead of raising mid-render.
+        kernel_ok = (cfg.mlp.trunk_width % 32 == 0
+                     and cfg.mlp.head_width % 32 == 0)
+        if cfg.resolve_pallas() and kernel_ok:
             from cvnerf_tpu.ops.pallas.fused_mlp_int8 import (
                 fused_nerf_apply_int8)
             n_rays, n_samples = points.shape[:2]

@@ -303,9 +303,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="half-width of the bake cube for non-NDC scenes")
     p.add_argument("--int8", action="store_true",
                    help="quantize the nets to int8 at startup and serve "
-                        "through the fused int8 MXU kernel (ops.quantize; "
-                        "composes with --occupancy; measured speed/quality "
-                        "deltas in BASELINE.md)")
+                        "through the fused int8 kernel (ops.quantize; "
+                        "composes with --occupancy). EXPERIMENTAL "
+                        "quality/memory trade: measured slightly SLOWER "
+                        "than bf16 on v5e at -0.85 dB (BASELINE.md)")
     p.add_argument("--int8_calib", type=int, default=1 << 17,
                    help="calibration sample count for --int8")
     # ndc flags default to None so --run can detect (and reject) explicit

@@ -197,6 +197,31 @@ def test_renderer_interpret_kernel_path_matches_oracle_path(quantized):
                                atol=1e-5, rtol=0)
 
 
+def test_renderer_falls_back_to_oracle_on_odd_widths():
+    """Widths the int8 kernel can't tile (not %32) must route to the jnp
+    oracle inside the renderer instead of raising mid-render."""
+    from cvnerf_tpu.render.renderer import RenderConfig, render_rays
+    cfg = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=24,
+                        head_width=16)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    pts, dirs = calibration_samples(jax.random.PRNGKey(1), 256, *BBOX)
+    qp = quantize_nerf(params, cfg, pts, dirs)
+    n = 8
+    key = jax.random.PRNGKey(1)
+    o = jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.full((n,), -4.0)], -1)
+    v = jnp.stack([jnp.linspace(-0.1, 0.1, n), jnp.zeros(n), jnp.ones(n)], -1)
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    near, far = jnp.full((n,), 2.5), jnp.full((n,), 5.5)
+    p = {"coarse": qp, "fine": qp}
+    base = dict(n_coarse=4, n_fine=4, perturb=False, mlp=cfg)
+    # pallas='interpret' would hit the kernel; the guard must reroute.
+    a = render_rays(key, p, o, v, v, near, far,
+                    RenderConfig(pallas="interpret", **base))
+    b = render_rays(key, p, o, v, v, near, far,
+                    RenderConfig(pallas="off", **base))
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
 def test_serve_enable_int8(tmp_path):
     """Checkpoint → enable_int8 → render: runs, deterministic, and the
     float master copy still drives the occupancy bake afterwards."""
