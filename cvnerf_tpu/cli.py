@@ -110,7 +110,7 @@ def main(argv=None):
         ndc_variant=args.ndc_variant, white_bkg=args.white_bkg,
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
         bf16=args.bf16, mlp=mlp, sorted_resample=args.sorted_resample,
-        pallas=args.pallas)
+        pallas=args.pallas, calib_poses=scene.poses)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
@@ -281,17 +281,13 @@ def main(argv=None):
         occ = None
         if args.occupancy:
             import dataclasses
-            from cvnerf_tpu.render.occupancy import bake_occupancy
-            if scene.ndc:
-                bb_min, bb_max = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
-            else:
-                b = args.occupancy_bound
-                bb_min, bb_max = (-b,) * 3, (b,) * 3
-            net = "fine" if args.n_fine_samples > 0 else "coarse"
-            occ = bake_occupancy(
-                jax.tree.map(np.asarray, state.params[net]), mlp,
-                bb_min, bb_max, resolution=args.occupancy_res,
-                compute_dtype=rcfg_test.compute_dtype)
+            from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+            occ = bake_scene_occupancy(
+                state.params, mlp, ndc=scene.ndc,
+                bound=args.occupancy_bound, n_fine=args.n_fine_samples,
+                resolution=args.occupancy_res,
+                compute_dtype=rcfg_test.compute_dtype,
+                mesh=mesh if n_dev > 1 else None)
             rcfg_test = dataclasses.replace(rcfg_test,
                                             occupancy_mode=args.occupancy)
             print(f"occupancy grid active: mode={args.occupancy} "

@@ -268,9 +268,12 @@ def calibration_samples(key: jax.Array, n: int,
     bounds CLIP the position (id) encoding rows, which is catastrophic
     (measured −12 dB on sphere_hi when calibrated at ±1.5 while rays reach
     |p|≈2.9). When camera poses are available, prefer
-    :func:`ray_calibration_samples` (exactly the query distribution);
-    otherwise pass bounds derived from ``far`` (a superset of every
-    reachable point).
+    :func:`ray_calibration_samples` (exactly the query distribution).
+    Without poses there is no exact bound: rays reach
+    ``|p| ≤ |origin| + far``, so a ``±far`` cube under-covers whenever
+    cameras sit away from the origin — it is a fallback heuristic, not a
+    superset guarantee (NDC scenes are the exception: the NDC box is
+    exact).
     """
     kp, kd = jax.random.split(key)
     lo = jnp.asarray(bbox_min, jnp.float32)

@@ -81,6 +81,39 @@ def bake_occupancy(net_params: dict, mlp: NerfMLPConfig,
                          inv_spacing=jnp.asarray(inv_spacing))
 
 
+def scene_bbox(ndc: bool, bound: float) -> tuple[tuple, tuple]:
+    """The region the model was trained in: the NDC frustum box for NDC
+    scenes (x, y ∈ [-1, 1], z ∈ [0, 1]), a ``±bound`` cube otherwise."""
+    if ndc:
+        return (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+    return (-bound,) * 3, (bound,) * 3
+
+
+def bake_scene_occupancy(params: dict, mlp: NerfMLPConfig, *,
+                         ndc: bool, bound: float, n_fine: int,
+                         resolution: int = 192, dilate: int = 1,
+                         compute_dtype=jnp.float32,
+                         mesh=None) -> OccupancyGrid:
+    """Box choice + net choice + bake (+ mesh replication) in one place.
+
+    The one entry point shared by ``serve.NerfRenderer.enable_occupancy``
+    and the train CLI's ``--render_only --occupancy`` path, so the two
+    can't drift (they once did: the CLI copy forgot the mesh replication).
+    ``params`` is the full two-net dict; the net the fine resample is
+    driven by is picked the same way the renderer picks it.
+    """
+    import jax
+    bb_min, bb_max = scene_bbox(ndc, bound)
+    net = "fine" if n_fine > 0 else "coarse"
+    occ = bake_occupancy(jax.tree.map(np.asarray, params[net]), mlp,
+                         bb_min, bb_max, resolution=resolution,
+                         dilate=dilate, compute_dtype=compute_dtype)
+    if mesh is not None:
+        from cvnerf_tpu.parallel.mesh import replicate_to_mesh
+        occ = replicate_to_mesh(occ, mesh)
+    return occ
+
+
 def occupancy_sigma(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Probe the grid at ``points [..., 3]`` → nearest-vertex sigma ``[...]``.
 

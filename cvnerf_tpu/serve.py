@@ -47,13 +47,19 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          n_coarse: int, n_fine: int, bf16: bool,
                          mlp: NerfMLPConfig,
                          sorted_resample: bool = True,
-                         pallas: str = "auto") -> str:
+                         pallas: str = "auto",
+                         calib_poses=None) -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
     *derived* values (near/far/H/W/focal come out of the data loader, not
     the flags — e.g. LLFF NDC runs train with near=0, far=1 regardless of
     ``poses_bounds.npy``).
+
+    ``calib_poses``: optional ``[P, 3+, 4]`` camera set (the scene's
+    poses). Up to 64 are stored (evenly subsampled) so post-training
+    transforms that need the query distribution — int8 calibration — can
+    sample real rays instead of guessing a bounding cube.
     """
     os.makedirs(run_dir, exist_ok=True)
     path = os.path.join(run_dir, SCENE_SNAPSHOT)
@@ -65,6 +71,11 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         "sorted_resample": bool(sorted_resample), "pallas": pallas,
         "mlp": dataclasses.asdict(mlp),
     }
+    if calib_poses is not None:
+        cp = np.asarray(calib_poses, np.float32)[:, :3, :4]
+        if len(cp) > 64:
+            cp = cp[np.linspace(0, len(cp) - 1, 64).round().astype(int)]
+        payload["calib_poses"] = cp.tolist()
     with open(path, "w") as fp:
         json.dump(payload, fp, indent=2, sort_keys=True)
     return path
@@ -122,6 +133,9 @@ class NerfRenderer:
             # multi-process JAX; plain device_put otherwise)
             self.params = replicate_to_mesh(self.params, self.mesh)
         self.occupancy = None
+        # Known camera set for calibration-style transforms (enable_int8):
+        # populated by from_run_dir when the run snapshot carries poses.
+        self.calib_poses = None
         # Float master copy: enable_int8 swaps self.params for quantized
         # ones, but the occupancy bake and mesh extraction query the float
         # net — they read from here (always set, so ordering of enable_*
@@ -158,12 +172,15 @@ class NerfRenderer:
             compute_dtype=jnp.bfloat16 if geo.get("bf16") else jnp.float32,
             sorted_resample=geo.get("sorted_resample", True),
             pallas=geo.get("pallas", "auto"))
-        return cls(os.path.join(run_dir, "checkpoints"),
-                   height=geo["height"], width=geo["width"],
-                   focal=geo["focal"], near=geo["near"], far=geo["far"],
-                   ndc=geo["ndc"], ndc_variant=geo["ndc_variant"],
-                   cfg=cfg, chunk=chunk, seed=seed, step=step,
-                   deterministic=deterministic, use_mesh=use_mesh)
+        r = cls(os.path.join(run_dir, "checkpoints"),
+                height=geo["height"], width=geo["width"],
+                focal=geo["focal"], near=geo["near"], far=geo["far"],
+                ndc=geo["ndc"], ndc_variant=geo["ndc_variant"],
+                cfg=cfg, chunk=chunk, seed=seed, step=step,
+                deterministic=deterministic, use_mesh=use_mesh)
+        if geo.get("calib_poses"):
+            r.calib_poses = np.asarray(geo["calib_poses"], np.float32)
+        return r
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
         """Render one ``[H, W, 3]`` view from a ``[3+,4]`` c2w pose."""
@@ -205,20 +222,13 @@ class NerfRenderer:
         if mode not in ("merge", "full"):
             raise ValueError(f"mode must be 'merge' or 'full', got {mode!r}")
         self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode)
-        from cvnerf_tpu.render.occupancy import bake_occupancy
-        if self.ndc:
-            bbox_min, bbox_max = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
-        else:
-            bbox_min, bbox_max = (-bound,) * 3, (bound,) * 3
-        net = "fine" if self.cfg.n_fine > 0 else "coarse"
-        # Bake from the host view of the params (works replicated or not).
-        occ = bake_occupancy(
-            jax.tree.map(np.asarray, self._float_params[net]), self.cfg.mlp,
-            bbox_min, bbox_max, resolution=resolution, dilate=dilate,
-            compute_dtype=self.cfg.compute_dtype)
-        if self.mesh is not None:
-            occ = replicate_to_mesh(occ, self.mesh)
-        self.occupancy = occ
+        from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+        # Bake from the host view of the float master copy (works
+        # replicated or not, and composes with enable_int8 in any order).
+        self.occupancy = bake_scene_occupancy(
+            self._float_params, self.cfg.mlp, ndc=self.ndc, bound=bound,
+            n_fine=self.cfg.n_fine, resolution=resolution, dilate=dilate,
+            compute_dtype=self.cfg.compute_dtype, mesh=self.mesh)
         return self
 
     def enable_int8(self, *, poses=None, n_calib: int = 1 << 17,
@@ -239,17 +249,26 @@ class NerfRenderer:
         Args:
             poses: optional ``[P, 3+, 4]`` c2w poses (e.g. the pose set you
                 will serve) — calibration then samples REAL rays through
-                this camera set, the exact query distribution. Without
-                poses, samples uniformly in a ``±bound`` cube
-                (``bound=None`` → ``far``, a superset of every reachable
-                point — under-sized bounds clip the position encoding and
-                cost dB; NDC scenes always use the NDC box).
+                this camera set, the exact query distribution. Defaults to
+                the run snapshot's stored camera set
+                (``self.calib_poses``, present for ``from_run_dir``
+                renderers of snapshots that recorded poses). With no poses
+                anywhere, falls back to uniform samples in a ``±bound``
+                cube (``bound=None`` → ``far``). NOTE: the cube fallback is
+                a heuristic, not a guarantee — rays reach
+                ``|p| ≤ |origin| + far``, which exceeds ``±far`` whenever
+                cameras sit away from the origin, and under-sized bounds
+                clip the position encoding and cost dB (measured −12 dB;
+                ``ops.quantize``). Prefer poses. NDC scenes always
+                calibrate in the NDC box, which IS exact.
         """
         from cvnerf_tpu.ops.quantize import (calibration_samples,
                                              quantize_nerf_params,
                                              calibrate_nerf_quant,
                                              ray_calibration_samples)
         key = jax.random.PRNGKey(seed)
+        if poses is None:
+            poses = self.calib_poses
         if poses is not None:
             pts, dirs = ray_calibration_samples(
                 key, n_calib, poses, self.height, self.width, self.focal,

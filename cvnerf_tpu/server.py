@@ -309,6 +309,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "than bf16 on v5e at -0.85 dB (BASELINE.md)")
     p.add_argument("--int8_calib", type=int, default=1 << 17,
                    help="calibration sample count for --int8")
+    p.add_argument("--int8_bound", type=float, default=None,
+                   help="calibration cube half-width for --int8 when the "
+                        "run snapshot stores no camera poses (default: "
+                        "far). Calibration normally samples real rays "
+                        "through the run's stored poses — this flag only "
+                        "affects the pose-less fallback; under-sized "
+                        "bounds clip the position encoding and cost dB")
     # ndc flags default to None so --run can detect (and reject) explicit
     # overrides; without --run, None resolves to False/"canonical".
     p.add_argument("--ndc", action=argparse.BooleanOptionalAction,
@@ -360,9 +367,12 @@ def main(argv=None):
               f"res={args.occupancy_res}")
     if args.int8:
         renderer.enable_int8(n_calib=args.int8_calib,
-                             bound=args.occupancy_bound)
+                             bound=args.int8_bound)
+        src = ("run poses" if renderer.calib_poses is not None
+               else "NDC box" if renderer.ndc
+               else f"±{args.int8_bound or renderer.far} cube")
         print(f"int8 quantized serving active "
-              f"(calibrated on {args.int8_calib} samples)")
+              f"(calibrated on {args.int8_calib} samples via {src})")
     srv = make_server(renderer, args.host, args.port)
     print(f"serving checkpoint step {renderer.step} on "
           f"http://{args.host}:{srv.server_address[1]}")

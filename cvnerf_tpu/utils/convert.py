@@ -240,10 +240,10 @@ def main(argv=None):
                    help="reverse direction: orbax checkpoint → torch .pt "
                         "({'coarse': state_dict, 'fine': state_dict, "
                         "'step': N}, plain tensors, weights_only-loadable)")
-    p.add_argument("--step", type=int, default=0,
-                   help="import: step to stamp on the imported state; "
-                        "--export: which checkpoint step to export "
-                        "(default latest)")
+    p.add_argument("--step", type=int, default=None,
+                   help="import: step to stamp on the imported state "
+                        "(default 0); --export: which checkpoint step to "
+                        "export (default latest)")
     p.add_argument("--allow_pickle", action="store_true",
                    help="permit full-pickle checkpoints (EXECUTES the "
                         "file's pickle code — trusted sources only)")
@@ -261,13 +261,14 @@ def main(argv=None):
     p.add_argument("--n_fine_samples", type=int, default=128)
     args = p.parse_args(argv)
     if args.export:
-        step = export_torch_checkpoint(args.src, args.dst,
-                                       step=args.step or None)
+        # args.step is None unless given: an explicit --step 0 exports the
+        # step-0 checkpoint (the norm for imported runs), not the latest.
+        step = export_torch_checkpoint(args.src, args.dst, step=args.step)
         print(f"Exported {args.src} (step {step}) -> {args.dst} "
               "(reference-Model state_dicts under 'coarse'/'fine')")
         return
     cfg = import_torch_checkpoint(args.src, args.dst,
-                                  step=args.step,
+                                  step=0 if args.step is None else args.step,
                                   allow_pickle=args.allow_pickle)
     print(f"Imported {args.src} -> {args.dst}/checkpoints "
           f"(architecture: {cfg})")

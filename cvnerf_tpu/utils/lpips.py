@@ -64,7 +64,11 @@ def load_weights(path: str) -> dict:
     missing = [k for k in _WEIGHT_KEYS if k not in data]
     if missing:
         raise ValueError(f"{path}: missing LPIPS weight arrays {missing}")
-    w = {k: np.asarray(data[k], np.float32) for k in _WEIGHT_KEYS}
+    # Committed device arrays: the jitted scorer then reuses them in place
+    # instead of re-uploading ~9 MB of conv weights per scored image pair
+    # (the host->device tunnel is the slow path on this platform).
+    w = {k: jax.device_put(np.asarray(data[k], np.float32))
+         for k in _WEIGHT_KEYS}
     for i, (ch, k, _, _) in enumerate(_STAGES):
         got = w[f"conv{i}_w"].shape
         want_in = 3 if i == 0 else _STAGES[i - 1][0]

@@ -175,6 +175,31 @@ def test_export_cli(tmp_path):
     assert torch.load(out, weights_only=True)["step"] == 0
 
 
+def test_export_cli_explicit_step_zero(tmp_path):
+    """`--export --step 0` must export the step-0 checkpoint, not silently
+    fall through to the latest (falsy-zero regression)."""
+    import jax
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+    from cvnerf_tpu.train.checkpoint import save_checkpoint
+    from cvnerf_tpu.train.state import TrainState, create_train_state
+    from cvnerf_tpu.utils.convert import main as conv_main
+
+    tiny = NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32,
+                         head_width=16)
+    st = create_train_state(jax.random.PRNGKey(0), mlp=tiny)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, st)                                   # step 0
+    save_checkpoint(ckpt, TrainState(params=st.params,
+                                     opt_state=st.opt_state,
+                                     step=st.step + 7))         # step 7
+    out = str(tmp_path / "e.pt")
+    conv_main(["--export", "--step", "0", ckpt, out])
+    assert torch.load(out, weights_only=True)["step"] == 0
+    conv_main(["--export", ckpt, str(tmp_path / "latest.pt")])
+    assert torch.load(str(tmp_path / "latest.pt"),
+                      weights_only=True)["step"] == 7
+
+
 def test_import_then_render(tmp_path):
     """Full switcher path: torch .pt -> orbax checkpoint -> NerfRenderer."""
     from cvnerf_tpu.render.renderer import RenderConfig

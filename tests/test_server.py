@@ -280,6 +280,48 @@ def test_from_run_dir_not_a_run(tmp_path):
         NerfRenderer.from_run_dir(str(tmp_path / "nope"))
 
 
+def test_run_snapshot_poses_drive_int8_calibration(tmp_path):
+    """A snapshot that stores camera poses (subsampled to <=64) must make
+    pose-free enable_int8() calibrate on real rays through them — not on
+    the bounding-cube fallback (whose under-coverage measurably costs dB;
+    regression for the serve CLI once calibrating in the occupancy cube)."""
+    import os
+    import cvnerf_tpu.ops.quantize as quant_mod
+    from cvnerf_tpu.ops.quantize import QuantizedNerfParams
+    from cvnerf_tpu.serve import write_scene_snapshot
+
+    run = str(tmp_path / "run")
+    state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
+    save_checkpoint(os.path.join(run, "checkpoints"), state)
+    # 100 distinct poses: translation encodes the pose index.
+    poses = np.tile(np.eye(4, dtype=np.float32)[None, :3, :4], (100, 1, 1))
+    poses[:, 2, 3] = 4.0 + np.arange(100) / 100.0
+    write_scene_snapshot(run, height=12, width=16, focal=14.0, near=2.0,
+                         far=6.0, ndc=False, ndc_variant="canonical",
+                         white_bkg=True, n_coarse=4, n_fine=4, bf16=False,
+                         mlp=TINY, calib_poses=poses)
+
+    r = NerfRenderer.from_run_dir(run, chunk=128, use_mesh=False)
+    assert r.calib_poses is not None and r.calib_poses.shape == (64, 3, 4)
+    assert r.calib_poses[0, 2, 3] == poses[0, 2, 3]       # endpoints kept
+    assert r.calib_poses[-1, 2, 3] == poses[-1, 2, 3]
+
+    seen = {}
+    orig = quant_mod.ray_calibration_samples
+
+    def spy(key, n, poses_arg, *a, **kw):
+        seen["poses"] = np.asarray(poses_arg)
+        return orig(key, n, poses_arg, *a, **kw)
+
+    quant_mod.ray_calibration_samples = spy
+    try:
+        r.enable_int8(n_calib=512)
+    finally:
+        quant_mod.ray_calibration_samples = orig
+    np.testing.assert_array_equal(seen["poses"], r.calib_poses)
+    assert isinstance(r.params["fine"], QuantizedNerfParams)
+
+
 def test_cli_run_flag_rejects_geometry_overrides(tmp_path):
     """--run + hand-typed geometry is the exact failure mode run-dir
     serving exists to prevent; the CLI refuses the combination."""
