@@ -217,9 +217,35 @@ def bench(train_steps: int = 200, warmup: int = 20,
     return result
 
 
+def _retry_if_backend_flake(exc: RuntimeError) -> None:
+    """Re-exec the bench after a transient TPU-tunnel init failure.
+
+    The axon tunnel occasionally drops for minutes at a time (observed:
+    'Unable to initialize backend ... UNAVAILABLE'); a failed init poisons
+    the JAX process, so a clean retry needs a fresh interpreter. Bounded
+    at 5 attempts x 150 s so a hard outage still fails within ~13 min.
+    """
+    import sys
+    if "Unable to initialize backend" not in str(exc):
+        raise exc
+    n = int(os.environ.get("CVNERF_BENCH_RETRY", "0"))
+    if n >= 5:
+        raise exc
+    print(f"# TPU backend unavailable (attempt {n + 1}/5); retrying in "
+          "150 s", file=sys.stderr, flush=True)
+    time.sleep(150)
+    os.environ["CVNERF_BENCH_RETRY"] = str(n + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-only workload (driver-contract check)")
     ns = ap.parse_args()
-    print(json.dumps(bench(smoke=ns.smoke)))
+    try:
+        out = bench(smoke=ns.smoke)
+    except RuntimeError as e:
+        _retry_if_backend_flake(e)
+        raise
+    print(json.dumps(out))
