@@ -88,12 +88,17 @@ def main(argv=None):
     mlp = NerfMLPConfig(xyz_freqs=args.xyz_freqs, dir_freqs=args.dir_freqs,
                         trunk_width=args.trunk_width,
                         head_width=args.head_width)
+    if args.occ_train and args.n_fine_samples <= 0:
+        sys.exit("--occ_train requires n_fine_samples > 0 (full-mode "
+                 "occupancy sampling draws the fine samples from the grid "
+                 "probe CDF)")
     rcfg_train = RenderConfig(
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
         perturb=args.perturb > 0, noise_std=args.noise,
         white_bkg=args.white_bkg, mlp=mlp,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        pallas=args.pallas, sorted_resample=args.sorted_resample)
+        pallas=args.pallas, sorted_resample=args.sorted_resample,
+        occupancy_mode="full" if args.occ_train else "merge")
     rcfg_test = rcfg_train.eval_mode()
     if args.deterministic_resample:
         import dataclasses
@@ -110,7 +115,9 @@ def main(argv=None):
         ndc_variant=args.ndc_variant, white_bkg=args.white_bkg,
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
         bf16=args.bf16, mlp=mlp, sorted_resample=args.sorted_resample,
-        pallas=args.pallas, calib_poses=scene.poses)
+        pallas=args.pallas, calib_poses=scene.poses,
+        occ_train=args.occ_train, occ_res=args.occupancy_res,
+        occ_bound=args.occupancy_bound)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
@@ -252,7 +259,7 @@ def main(argv=None):
         from cvnerf_tpu.utils.lpips import lpips_images
         return lpips_images(rgb, np.asarray(gt)[..., :3], lpips_bundle)
 
-    def val_metrics(params):
+    def val_metrics(params, occupancy=None):
         """Mean PSNR/SSIM over the val views; returns (psnr, ssim, rgb0)."""
         from cvnerf_tpu.render.frames import render_image
         if not len(val_views):
@@ -264,7 +271,7 @@ def main(argv=None):
                 scene.focal, jnp.asarray(scene.poses[int(i)]), scene.near,
                 scene.far, rcfg_test, ndc=scene.ndc,
                 ndc_variant=args.ndc_variant, chunk=render_chunk,
-                mesh=mesh if n_dev > 1 else None)
+                mesh=mesh if n_dev > 1 else None, occupancy=occupancy)
             rgb = np.asarray(out["rgb"])
             rgb0 = rgb if rgb0 is None else rgb0
             psnrs.append(psnr_images(rgb, scene.images[int(i)]))
@@ -279,6 +286,10 @@ def main(argv=None):
             from cvnerf_tpu.parallel.mesh import replicated_sharding
             params = jax.device_put(params, replicated_sharding(mesh))
         occ = None
+        if args.occ_train and not args.occupancy:
+            # An --occ_train run's checkpoints carry an untrained coarse
+            # net — render them the way they were trained.
+            args.occupancy = "full"
         if args.occupancy:
             import dataclasses
             from cvnerf_tpu.render.occupancy import bake_scene_occupancy
@@ -340,6 +351,33 @@ def main(argv=None):
                       steps_per_call=args.steps_per_call)
     logger = MetricsLogger(run_dir)
 
+    occ_bake = None
+    if args.occ_train:
+        from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+
+        def occ_bake(params):
+            # Trainer.set_occupancy / the eval renders handle mesh
+            # replication themselves; bake host-side once.
+            return bake_scene_occupancy(
+                params, mlp, ndc=scene.ndc, bound=args.occupancy_bound,
+                n_fine=args.n_fine_samples, resolution=args.occupancy_res,
+                compute_dtype=rcfg_train.compute_dtype, mesh=None)
+
+        if start >= args.occ_train_warmup:
+            # Resumed past the warmup boundary: re-enter accelerated mode
+            # immediately (the grid is rebaked from the restored params;
+            # resume is therefore step-aligned, not bitwise, in occ mode —
+            # see docs/DESIGN.md).
+            verdict = trainer.maybe_set_occupancy(
+                occ_bake(trainer.state.params))
+            if verdict == "postponed":
+                print("occ_train: baked grid is empty at resume — staying "
+                      "on reference-semantics training until a rebake "
+                      "finds a surface")
+            else:
+                print(f"occ_train: occupancy training active from step "
+                      f"{start} (res={args.occupancy_res})")
+
     from cvnerf_tpu.train.state import make_lr_schedule
     lr_sched = make_lr_schedule(args.lr, args.lr_decay)
 
@@ -388,13 +426,30 @@ def main(argv=None):
         return wrapped
 
     @_non_fatal
+    def occ_cb(i, tr, m):
+        if i < args.occ_train_warmup:
+            return
+        verdict = tr.maybe_set_occupancy(occ_bake(tr.state.params))
+        if verdict == "switched":
+            print(f"occ_train: switched to occupancy training at step {i} "
+                  f"(res={args.occupancy_res}, rebake every "
+                  f"{args.occ_train_every})")
+        elif verdict == "postponed":
+            print(f"occ_train: baked grid still empty at step {i} — "
+                  f"postponing the occupancy switch (retrying every "
+                  f"{args.occ_train_every} steps)")
+        elif verdict == "kept":
+            print(f"[WARN] occ_train: rebake at step {i} produced an "
+                  f"empty grid; keeping the previous one", flush=True)
+
+    @_non_fatal
     def vid_cb(i, tr, m):
-        frames = spiral_video(i, tr.state.params)
+        frames = spiral_video(i, tr.state.params, occupancy=tr.occupancy)
         logger.log_image(i, "spiral_frame0", frames[0])
 
     @_non_fatal
     def val_cb(i, tr, m):
-        v, s, rgb = val_metrics(tr.state.params)
+        v, s, rgb = val_metrics(tr.state.params, occupancy=tr.occupancy)
         if v is None:
             return
         logger.log(i, val_psnr=v, val_ssim=s, val_views=len(val_views))
@@ -411,6 +466,10 @@ def main(argv=None):
             print(f"New best val PSNR {v:.3f} at step {i} "
                   f"(checkpointed to {ckpt_dir}_best)")
 
+    if args.occ_train:
+        # Registered first: at a shared fire step the rebake runs before
+        # val/video callbacks, so they render through the fresh grid.
+        trainer.add_callback(args.occ_train_every, occ_cb)
     trainer.add_callback(args.print_freq, log_cb)
     if args.ckpt_freq > 0:
         trainer.add_callback(args.ckpt_freq, ckpt_cb)
@@ -435,7 +494,7 @@ def main(argv=None):
     ckpt_writer.close()
     logger.log(int(trainer.state.step), **final)
 
-    def test_eval(params):
+    def test_eval(params, occupancy=None):
         """Held-out test PSNR/SSIM (the reference computes no quantitative
         eval at all — SURVEY.md §4; this is the PSNR-parity evidence).
         Scores ``test_views`` — disjoint from the validation views when
@@ -448,7 +507,7 @@ def main(argv=None):
                       jnp.asarray(scene.poses[int(i)]), scene.near,
                       scene.far, rcfg_test, ndc=scene.ndc,
                       ndc_variant=args.ndc_variant, chunk=render_chunk,
-                      mesh=mesh if n_dev > 1 else None)
+                      mesh=mesh if n_dev > 1 else None, occupancy=occupancy)
             rgb = np.asarray(out["rgb"])
             psnrs.append(psnr_images(rgb, scene.images[int(i)]))
             ssims.append(ssim_images(rgb, scene.images[int(i)]))
@@ -464,7 +523,8 @@ def main(argv=None):
         # closed unconditionally — a run too short to ever fire val_cb
         # must not leak the manager's background threads.
     if len(test_views):
-        p, s, n, lp = test_eval(trainer.state.params)
+        p, s, n, lp = test_eval(trainer.state.params,
+                                occupancy=trainer.occupancy)
         extra = {} if lp is None else {"test_lpips": lp}
         logger.log(int(trainer.state.step), test_psnr=p, test_ssim=s,
                    test_views=n, **extra)
@@ -476,7 +536,17 @@ def main(argv=None):
                 if n_dev > 1:
                     from cvnerf_tpu.parallel.mesh import replicate_to_mesh
                     params_best = replicate_to_mesh(params_best, mesh)
-                pb, sb, nb, lpb = test_eval(params_best)
+                # The grid must match the params it resamples for: rebake
+                # from the best-val weights (a final-step grid would skew
+                # the best model's sampling).
+                occ_best = (occ_bake(params_best)
+                            if occ_bake is not None and
+                            trainer.occupancy is not None else None)
+                if occ_best is not None and n_dev > 1:
+                    from cvnerf_tpu.parallel.mesh import replicate_to_mesh
+                    occ_best = replicate_to_mesh(occ_best, mesh)
+                pb, sb, nb, lpb = test_eval(params_best,
+                                            occupancy=occ_best)
                 extra = {} if lpb is None else {"test_lpips_best": lpb}
                 logger.log(int(trainer.state.step), test_psnr_best=pb,
                            test_ssim_best=sb,

@@ -136,8 +136,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "from the restored checkpoint and render the pose "
                         "sequence through it (render.occupancy; 'full' "
                         "measured 1.56x at -0.05 dB — BASELINE.md). "
-                        "Ignored during training (the coarse net is "
-                        "part of the learned model there)")
+                        "Ignored during training (see --occ_train for the "
+                        "training-time variant)")
+    p.add_argument("--occ_train", action="store_true",
+                   help="occupancy-accelerated TRAINING (flag-gated "
+                        "deviation from the reference): after "
+                        "--occ_train_warmup reference-semantics steps, "
+                        "bake an occupancy grid from the fine net, replace "
+                        "the coarse MLP with the grid probe (loss becomes "
+                        "MSE(fine) only; full-mode sampling runs the net "
+                        "on n_fine points instead of n_coarse+n_fine) and "
+                        "rebake every --occ_train_every steps so sampling "
+                        "tracks the live density. The coarse net stops "
+                        "training at the switch; serving auto-enables the "
+                        "grid from scene.json")
+    p.add_argument("--occ_train_warmup", type=int, default=2000,
+                   help="reference-semantics steps before the occupancy "
+                        "switch (the grid needs a roughly-right density "
+                        "field to bake from)")
+    p.add_argument("--occ_train_every", type=int, default=1000,
+                   help="rebake cadence (steps) during --occ_train")
     p.add_argument("--occupancy_res", type=int, default=192,
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,

@@ -114,6 +114,20 @@ def bake_scene_occupancy(params: dict, mlp: NerfMLPConfig, *,
     return occ
 
 
+def occupied_fraction(grid: OccupancyGrid) -> float:
+    """Fraction of lattice vertices with positive baked density.
+
+    Zero means the bake found no surface anywhere in the bbox. Resampling
+    through an all-empty grid gives every ray ``sample_pdf``'s ε-uniform
+    fallback CDF, and on a near-collapsed density field those uniform
+    samples can land exclusively in ``relu' = 0`` territory — the training
+    gradient becomes exactly zero and never recovers (observed on
+    micro-fixtures). ``--occ_train`` therefore refuses to install an empty
+    grid (``train.loop.maybe_set_occupancy``).
+    """
+    return float((np.asarray(grid.values) > 0).mean())
+
+
 def occupancy_sigma(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Probe the grid at ``points [..., 3]`` → nearest-vertex sigma ``[...]``.
 

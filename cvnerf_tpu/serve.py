@@ -48,7 +48,10 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          mlp: NerfMLPConfig,
                          sorted_resample: bool = True,
                          pallas: str = "auto",
-                         calib_poses=None) -> str:
+                         calib_poses=None,
+                         occ_train: bool = False,
+                         occ_res: int = 192,
+                         occ_bound: float = 1.5) -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -76,6 +79,12 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         if len(cp) > 64:
             cp = cp[np.linspace(0, len(cp) - 1, 64).round().astype(int)]
         payload["calib_poses"] = cp.tolist()
+    if occ_train:
+        # Occupancy-trained checkpoints (--occ_train) carry an UNTRAINED
+        # coarse net: any consumer must resample through a baked grid, so
+        # record the bake parameters and let from_run_dir auto-enable it.
+        payload["occ_train"] = {"resolution": int(occ_res),
+                                "bound": float(occ_bound)}
     with open(path, "w") as fp:
         json.dump(payload, fp, indent=2, sort_keys=True)
     return path
@@ -180,6 +189,13 @@ class NerfRenderer:
                 deterministic=deterministic, use_mesh=use_mesh)
         if geo.get("calib_poses"):
             r.calib_poses = np.asarray(geo["calib_poses"], np.float32)
+        if geo.get("occ_train"):
+            # The checkpoint was trained with --occ_train: its coarse net
+            # is untrained, so rendering MUST resample through a baked
+            # grid (full mode, the configuration it was trained under).
+            ot = geo["occ_train"]
+            r.enable_occupancy(resolution=int(ot["resolution"]),
+                               bound=float(ot["bound"]), mode="full")
         return r
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:

@@ -106,8 +106,20 @@ def _sample_pixels(key: jax.Array, cfg: TrainConfig,
 
 
 def _build_step_core(cfg: TrainConfig,
-                     mesh: Mesh | None = None) -> Callable:
-    """The *uncompiled* train step; see ``make_train_step``."""
+                     mesh: Mesh | None = None,
+                     with_occupancy: bool = False) -> Callable:
+    """The *uncompiled* train step; see ``make_train_step``.
+
+    ``with_occupancy=True`` builds the occupancy-accelerated variant
+    (``--occ_train``): the step takes a baked ``OccupancyGrid`` as an extra
+    leading argument, the coarse MLP is replaced by the grid probe
+    (``render_rays``'s occupancy path) and the loss is ``MSE(fine)`` only —
+    there is no coarse image to score, and ``rgb_coarse`` aliases the fine
+    map on this path (scoring it too would silently double the gradient).
+    This is a deliberate, flag-gated deviation from the reference loss
+    (``main.py:380-383``); the coarse params receive zero gradients and
+    stay at their checkpointed values.
+    """
     if mesh is not None and cfg.n_rays % mesh.devices.size != 0:
         raise ValueError(
             f"n_rays={cfg.n_rays} must be divisible by the mesh size "
@@ -126,20 +138,25 @@ def _build_step_core(cfg: TrainConfig,
     opt = make_optimizer(cfg.lr, cfg.lr_decay)
     rcfg = cfg.render
 
-    def loss_fn(params, key, rays_o, rays_d, viewdirs, target, ray_ids,
-                noise_scale):
+    def loss_fn(params, occupancy, key, rays_o, rays_d, viewdirs, target,
+                ray_ids, noise_scale):
         n = rays_o.shape[0]
         out = render_rays(key, params, rays_o, rays_d, viewdirs,
                           jnp.full((n,), cfg.near, jnp.float32),
                           jnp.full((n,), cfg.far, jnp.float32),
-                          rcfg, ray_ids=ray_ids, noise_scale=noise_scale)
+                          rcfg, ray_ids=ray_ids, noise_scale=noise_scale,
+                          occupancy=occupancy)
         mse_fine = jnp.mean((out["rgb"] - target) ** 2)
+        if occupancy is not None:
+            # No coarse image exists on the occupancy path (rgb_coarse
+            # aliases rgb); see _build_step_core's docstring.
+            return mse_fine, mse_fine
         mse_coarse = jnp.mean((out["rgb_coarse"] - target) ** 2)
         # Reference loss: MSE(fine) + MSE(coarse) (main.py:380-383).
         return mse_fine + mse_coarse, mse_fine
 
-    def local_grad(params, key, rays_o, rays_d, viewdirs, target, ray_ids,
-                   noise_scale):
+    def local_grad(params, occupancy, key, rays_o, rays_d, viewdirs, target,
+                   ray_ids, noise_scale):
         """Per-shard loss/grad, allreduced over the ray axis.
 
         Runs inside shard_map so the Pallas MLP kernel executes per-device
@@ -148,14 +165,14 @@ def _build_step_core(cfg: TrainConfig,
         device count.
         """
         (loss, mse_fine), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, key, rays_o, rays_d, viewdirs,
-                                   target, ray_ids, noise_scale)
+            loss_fn, has_aux=True)(params, occupancy, key, rays_o, rays_d,
+                                   viewdirs, target, ray_ids, noise_scale)
         loss = jax.lax.pmean(loss, RAY_AXIS)
         mse_fine = jax.lax.pmean(mse_fine, RAY_AXIS)
         grads = jax.lax.pmean(grads, RAY_AXIS)
         return loss, mse_fine, grads
 
-    def step_fn(state: TrainState, key: jax.Array,
+    def step_fn(state: TrainState, occupancy, key: jax.Array,
                 images: jnp.ndarray, poses: jnp.ndarray,
                 train_idx: jnp.ndarray, precrop: bool):
         k_img, k_pix, k_render = jax.random.split(key, 3)
@@ -187,19 +204,28 @@ def _build_step_core(cfg: TrainConfig,
             p = PartitionSpec
             sharded = jax.shard_map(
                 local_grad, mesh=mesh,
-                in_specs=(p(), p(), p(RAY_AXIS), p(RAY_AXIS), p(RAY_AXIS),
-                          p(RAY_AXIS), p(RAY_AXIS), p()),
+                in_specs=(p(), p(), p(), p(RAY_AXIS), p(RAY_AXIS),
+                          p(RAY_AXIS), p(RAY_AXIS), p(RAY_AXIS), p()),
                 out_specs=(p(), p(), p()),
                 check_vma=False)
             loss, mse_fine, grads = sharded(
-                state.params, k_render, rays_o, rays_d, viewdirs, target,
-                ray_ids, noise_scale)
+                state.params, occupancy, k_render, rays_o, rays_d, viewdirs,
+                target, ray_ids, noise_scale)
         else:
             (loss, mse_fine), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, k_render, rays_o,
-                                       rays_d, viewdirs, target, ray_ids,
-                                       noise_scale)
+                loss_fn, has_aux=True)(state.params, occupancy, k_render,
+                                       rays_o, rays_d, viewdirs, target,
+                                       ray_ids, noise_scale)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        if with_occupancy:
+            # The coarse net is off the compute path: its gradients are
+            # zero, but Adam momentum carried over from the warmup steps
+            # would keep drifting its params — zero the updates so the
+            # warmup-trained coarse net stays bitwise frozen (it remains a
+            # sane fallback for grid-less rendering of the checkpoint).
+            updates = {**updates,
+                       "coarse": jax.tree.map(jnp.zeros_like,
+                                              updates["coarse"])}
         params = optax.apply_updates(state.params, updates)
 
         new_state = TrainState(params=params, opt_state=opt_state,
@@ -216,27 +242,39 @@ def _build_step_core(cfg: TrainConfig,
         }
         return new_state, metrics
 
-    return step_fn
+    if with_occupancy:
+        return step_fn
+
+    def step_no_occ(state: TrainState, key: jax.Array,
+                    images: jnp.ndarray, poses: jnp.ndarray,
+                    train_idx: jnp.ndarray, precrop: bool):
+        return step_fn(state, None, key, images, poses, train_idx, precrop)
+
+    return step_no_occ
 
 
 def make_train_step(cfg: TrainConfig,
-                    mesh: Mesh | None = None) -> Callable:
+                    mesh: Mesh | None = None,
+                    with_occupancy: bool = False) -> Callable:
     """Build the jitted train step.
 
     Returns ``step_fn(state, key, images, poses, train_idx, precrop) ->
     (new_state, metrics)`` where ``precrop`` is a static bool (two compiled
-    variants: warm-up and steady-state).
+    variants: warm-up and steady-state). With ``with_occupancy=True`` the
+    signature gains a baked grid: ``step_fn(state, occupancy, key, ...)``
+    (see ``_build_step_core``; ``Trainer`` drives both variants).
 
     With a mesh, the render+backward runs under ``shard_map`` over the ray
     axis (required for the Pallas MLP kernel to execute per-device) with a
     ``pmean`` gradient allreduce over ICI.
     """
-    return jax.jit(_build_step_core(cfg, mesh),
+    return jax.jit(_build_step_core(cfg, mesh, with_occupancy),
                    static_argnames=("precrop",), donate_argnums=(0,))
 
 
 def make_train_scan(cfg: TrainConfig, block: int,
-                    mesh: Mesh | None = None) -> Callable:
+                    mesh: Mesh | None = None,
+                    with_occupancy: bool = False) -> Callable:
     """Build a jitted ``block``-step train program.
 
     ``scan_fn(state, base_key, images, poses, train_idx, start, precrop) ->
@@ -248,18 +286,35 @@ def make_train_scan(cfg: TrainConfig, block: int,
     ``fold_in(base_key, i)`` derivation the host loop uses, and the body is
     the same step core (``tests/test_train.py::test_scan_matches_single``).
     """
-    core = _build_step_core(cfg, mesh)
+    core = _build_step_core(cfg, mesh, with_occupancy)
 
-    def scan_fn(state: TrainState, base_key: jax.Array,
-                images: jnp.ndarray, poses: jnp.ndarray,
-                train_idx: jnp.ndarray, start: jnp.ndarray, precrop: bool):
+    def scan_body(state, base_key, images, poses, train_idx, start, precrop,
+                  occupancy=None):
         def body(st, i):
             key = jax.random.fold_in(base_key, i)
+            if with_occupancy:
+                return core(st, occupancy, key, images, poses, train_idx,
+                            precrop)
             return core(st, key, images, poses, train_idx, precrop)
 
         steps = start + jnp.arange(block, dtype=jnp.int32)
         state, stacked = jax.lax.scan(body, state, steps)
         return state, jax.tree.map(lambda m: m[-1], stacked)
+
+    if with_occupancy:
+        def scan_fn(state: TrainState, occupancy, base_key: jax.Array,
+                    images: jnp.ndarray, poses: jnp.ndarray,
+                    train_idx: jnp.ndarray, start: jnp.ndarray,
+                    precrop: bool):
+            return scan_body(state, base_key, images, poses, train_idx,
+                             start, precrop, occupancy)
+    else:
+        def scan_fn(state: TrainState, base_key: jax.Array,
+                    images: jnp.ndarray, poses: jnp.ndarray,
+                    train_idx: jnp.ndarray, start: jnp.ndarray,
+                    precrop: bool):
+            return scan_body(state, base_key, images, poses, train_idx,
+                             start, precrop)
 
     return jax.jit(scan_fn, static_argnames=("precrop",),
                    donate_argnums=(0,))
@@ -285,6 +340,13 @@ class Trainer:
         self.steps_per_call = max(1, steps_per_call)
         self.scan_fn = (make_train_scan(cfg, self.steps_per_call, mesh)
                         if self.steps_per_call > 1 else None)
+        # Occupancy-accelerated training (--occ_train): set_occupancy()
+        # installs a baked grid and the occ-variant step programs; rebakes
+        # at the same resolution reuse the compiled programs (shapes are
+        # static, only the table values change).
+        self.occupancy = None
+        self._step_fn_occ: Callable | None = None
+        self._scan_fn_occ: Callable | None = None
         self.state = state
         self.images = jnp.asarray(images, jnp.float32)
         self.poses = jnp.asarray(poses, jnp.float32)[:, :3, :4]
@@ -303,6 +365,54 @@ class Trainer:
             self.train_idx = replicate_to_mesh(self.train_idx, mesh)
         self.callbacks: list[tuple[int, Callable[[int, "Trainer", dict], None]]] = []
         self._last_metrics: dict[str, Any] = {}
+
+    def set_occupancy(self, grid) -> None:
+        """Install (or refresh) a baked ``OccupancyGrid`` for training.
+
+        Subsequent steps run the occupancy-accelerated variant: the grid
+        probe replaces the coarse MLP and, with ``occupancy_mode="full"``,
+        the fine net runs on ``n_fine`` points instead of
+        ``n_coarse + n_fine`` — at the reference shape (64+192 vs 128
+        evaluations per ray) half the MLP work per step. Callers rebake
+        periodically from the live params so the sampling distribution
+        tracks the trained density (``cli.py``'s ``--occ_train_every``
+        callback).
+        """
+        if self.mesh is not None:
+            from cvnerf_tpu.parallel.mesh import replicate_to_mesh
+            grid = replicate_to_mesh(grid, self.mesh)
+        self.occupancy = grid
+        if self._step_fn_occ is None:
+            self._step_fn_occ = make_train_step(self.cfg, self.mesh,
+                                                with_occupancy=True)
+            if self.steps_per_call > 1:
+                self._scan_fn_occ = make_train_scan(
+                    self.cfg, self.steps_per_call, self.mesh,
+                    with_occupancy=True)
+
+    def maybe_set_occupancy(self, grid) -> str:
+        """``set_occupancy`` behind the empty-grid guard (``--occ_train``).
+
+        Returns what happened: ``"switched"`` (first install), ``"rebaked"``
+        (refresh), ``"postponed"`` (grid empty, not yet in occ mode — stay
+        on reference semantics and let the caller retry at the next
+        cadence), or ``"kept"`` (grid empty mid-occ-mode — keep the last
+        non-empty grid rather than installing a sampler with no support).
+
+        Why guard: an all-empty grid gives every ray the ε-uniform fallback
+        CDF; on a weak density field those samples can land exclusively in
+        ``relu' = 0`` territory, zeroing the gradient *permanently* —
+        measured on a micro-fixture (grad_norm 0.18 → exactly 0.0 at the
+        switch step, never recovering). An empty bake means the warmup
+        hasn't produced a surface yet; training through the learned coarse
+        net is the only sampler with a gradient path out of that state.
+        """
+        from cvnerf_tpu.render.occupancy import occupied_fraction
+        if occupied_fraction(grid) <= 0.0:
+            return "postponed" if self.occupancy is None else "kept"
+        switched = self.occupancy is None
+        self.set_occupancy(grid)
+        return "switched" if switched else "rebaked"
 
     def add_callback(self, every: int, fn: Callable) -> None:
         """Register ``fn(step, trainer, metrics)`` to run every N steps.
@@ -349,16 +459,27 @@ class Trainer:
         while i < iters:
             precrop = i < self.cfg.precrop_iters
             n = self._block_len(i, iters)
+            occ = self.occupancy
             if n > 1 and n == self.steps_per_call:
-                self.state, metrics = self.scan_fn(
-                    self.state, self.base_key, self.images, self.poses,
-                    self.train_idx, jnp.int32(i), precrop)
+                if occ is not None:
+                    self.state, metrics = self._scan_fn_occ(
+                        self.state, occ, self.base_key, self.images,
+                        self.poses, self.train_idx, jnp.int32(i), precrop)
+                else:
+                    self.state, metrics = self.scan_fn(
+                        self.state, self.base_key, self.images, self.poses,
+                        self.train_idx, jnp.int32(i), precrop)
             else:
                 n = 1
                 key = jax.random.fold_in(self.base_key, i)
-                self.state, metrics = self.step_fn(
-                    self.state, key, self.images, self.poses,
-                    self.train_idx, precrop)
+                if occ is not None:
+                    self.state, metrics = self._step_fn_occ(
+                        self.state, occ, key, self.images, self.poses,
+                        self.train_idx, precrop)
+                else:
+                    self.state, metrics = self.step_fn(
+                        self.state, key, self.images, self.poses,
+                        self.train_idx, precrop)
             last = i + n - 1
             i += n
             rays_done += n * self.cfg.n_rays
