@@ -124,7 +124,26 @@ def bench(train_steps: int = 200, warmup: int = 20,
         trainers["off"] = Trainer(cfg_off, state_off, images, poses, [0, 1],
                                   seed=0, mesh=mesh, steps_per_call=10)
 
-    steps_for = {"on": train_steps, "off": max(train_steps // 2, 10)}
+    if not smoke:
+        # Occupancy-accelerated training (--occ_train): grid probe replaces
+        # the coarse MLP, fine net runs on n_fine instead of
+        # n_coarse+n_fine points — measured as a third interleaved arm.
+        # The grid bakes from the "on" arm's post-warmup params below
+        # (set_occupancy after all arms warm up).
+        import dataclasses as _dc
+        rcfg_occ = _dc.replace(rcfg, occupancy_mode="full")
+        cfg_occ = _dc.replace(cfg, render=rcfg_occ)
+        state_occ = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                                       lr_decay=cfg.lr_decay)
+        trainers["occ"] = Trainer(cfg_occ, state_occ, images, poses, [0, 1],
+                                  seed=0, mesh=mesh, steps_per_call=10)
+        from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+        trainers["occ"].set_occupancy(bake_scene_occupancy(
+            state_occ.params, rcfg.mlp, ndc=False, bound=6.0,
+            n_fine=n_fine, resolution=192, compute_dtype=dtype))
+
+    steps_for = {"on": train_steps, "off": max(train_steps // 2, 10),
+                 "occ": train_steps}
     cursors = {}
     for name, t in trainers.items():           # compile + warm up ALL first
         t.run(1, warmup + 1)
@@ -198,6 +217,10 @@ def bench(train_steps: int = 200, warmup: int = 20,
             off_render / n_chips, 1)
         result["pallas_render_speedup"] = round(render_rays_sec / off_render,
                                                 2)
+        occ_train = (steps_for["occ"] * cfg.n_rays
+                     / median(train_times["occ"]))
+        result["train_rays_per_sec_occ_train"] = round(occ_train / n_chips, 1)
+        result["occ_train_speedup"] = round(occ_train / train_rays_sec, 2)
 
         # Secondary: the reference's *default* batch (n_rays=4096,
         # main.py:422).
