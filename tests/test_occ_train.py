@@ -226,6 +226,56 @@ def test_occ_train_cli_e2e(tmp_path):
     assert np.isfinite(rgb).all()
 
 
+def test_occ_train_resume_reenters_occ_mode(tmp_path, capsys):
+    """Resuming an --occ_train run past the warmup boundary rebakes from
+    the restored params and re-enters occupancy mode immediately (the
+    grid itself is not checkpointed; resume is step-aligned — see
+    docs/DESIGN.md). The restored coarse net must stay frozen across the
+    resumed segment."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_blender_dataset
+    import main as cli
+    from cvnerf_tpu.train.checkpoint import latest_step, restore_params
+
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=3, n_val=1, n_test=1, h=24, w=24)
+    logdir = str(tmp_path / "logs_resume")
+    base = ["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+            "--name", "occ", "--no-bf16", "--dtype", "blender",
+            "--white_bkg", "--testskip", "1",
+            "--n_rays", "64", "--n_coarse_samples", "8",
+            "--n_fine_samples", "8", "--trunk_width", "32",
+            "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+            "--noise", "1.0", "--chunk", "256", "--print_freq", "4",
+            "--vid_freq", "0", "--val_freq", "0", "--lr", "5e-3",
+            "--ckpt_freq", "8",
+            "--occ_train", "--occ_train_warmup", "2",
+            "--occ_train_every", "3", "--occupancy_res", "8"]
+    cli.main(base + ["--iters", "10"])
+    ckpt_dir = os.path.join(logdir, "occ", "checkpoints")
+    resume_step = latest_step(ckpt_dir)   # final-step save (step 9)
+    assert resume_step == 9
+    params_9, _ = restore_params(ckpt_dir, resume_step)
+    coarse_at_resume = jax.tree.map(np.asarray, params_9["coarse"])
+    capsys.readouterr()
+
+    cli.main(base + ["--iters", "16"])
+    out = capsys.readouterr().out
+    assert f"Resumed from checkpoint at step {resume_step}" in out
+    assert (f"occupancy training active from step {resume_step}" in out
+            or "baked grid is empty at resume" in out)
+    reentered = f"occupancy training active from step {resume_step}" in out
+    params_final, step_final = restore_params(ckpt_dir)
+    assert step_final == 15
+    if reentered:
+        # Occ mode active across the resumed segment: coarse stays frozen.
+        for a, b in zip(jax.tree.leaves(coarse_at_resume),
+                        jax.tree.leaves(jax.tree.map(
+                            np.asarray, params_final["coarse"]))):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_occ_train_requires_fine_samples(tmp_path):
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
