@@ -128,8 +128,10 @@ def bench(train_steps: int = 200, warmup: int = 20,
         # Occupancy-accelerated training (--occ_train): grid probe replaces
         # the coarse MLP, fine net runs on n_fine instead of
         # n_coarse+n_fine points — measured as a third interleaved arm.
-        # The grid bakes from the "on" arm's post-warmup params below
-        # (set_occupancy after all arms warm up).
+        # The initial grid (random-init bake) only exists so the warmup
+        # loop compiles the occ program; it is REBAKED from the "on" arm's
+        # post-warmup params right after warmup (same shapes — no
+        # recompile) so measurement runs with a trained-density CDF.
         import dataclasses as _dc
         rcfg_occ = _dc.replace(rcfg, occupancy_mode="full")
         cfg_occ = _dc.replace(cfg, render=rcfg_occ)
@@ -138,9 +140,13 @@ def bench(train_steps: int = 200, warmup: int = 20,
         trainers["occ"] = Trainer(cfg_occ, state_occ, images, poses, [0, 1],
                                   seed=0, mesh=mesh, steps_per_call=10)
         from cvnerf_tpu.render.occupancy import bake_scene_occupancy
-        trainers["occ"].set_occupancy(bake_scene_occupancy(
-            state_occ.params, rcfg.mlp, ndc=False, bound=6.0,
-            n_fine=n_fine, resolution=192, compute_dtype=dtype))
+
+        def bake_occ_grid(from_params):
+            return bake_scene_occupancy(
+                from_params, rcfg.mlp, ndc=False, bound=6.0,
+                n_fine=n_fine, resolution=192, compute_dtype=dtype)
+
+        trainers["occ"].set_occupancy(bake_occ_grid(state_occ.params))
 
     steps_for = {"on": train_steps, "off": max(train_steps // 2, 10),
                  "occ": train_steps}
@@ -149,6 +155,10 @@ def bench(train_steps: int = 200, warmup: int = 20,
         t.run(1, warmup + 1)
         sync(t)
         cursors[name] = warmup + 1
+    if "occ" in trainers:
+        # Measure with a realistic probe CDF: rebake from the "on" arm's
+        # post-warmup params (same shapes as the compile-time grid).
+        trainers["occ"].set_occupancy(bake_occ_grid(tr.state.params))
     train_times = {name: [] for name in trainers}
     final = None
     for _ in range(1 if smoke else 3):

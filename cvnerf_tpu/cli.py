@@ -92,6 +92,10 @@ def main(argv=None):
         sys.exit("--occ_train requires n_fine_samples > 0 (full-mode "
                  "occupancy sampling draws the fine samples from the grid "
                  "probe CDF)")
+    if args.occ_train and args.occ_train_every <= 0:
+        sys.exit("--occ_train_every must be > 0: the switch to occupancy "
+                 "training happens inside the rebake callback, so a "
+                 "non-positive cadence would silently never switch")
     rcfg_train = RenderConfig(
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
         perturb=args.perturb > 0, noise_std=args.noise,
@@ -292,17 +296,26 @@ def main(argv=None):
             args.occupancy = "full"
         if args.occupancy:
             import dataclasses
-            from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+            from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,
+                                                     occupied_fraction)
             occ = bake_scene_occupancy(
                 state.params, mlp, ndc=scene.ndc,
                 bound=args.occupancy_bound, n_fine=args.n_fine_samples,
                 resolution=args.occupancy_res,
                 compute_dtype=rcfg_test.compute_dtype,
                 mesh=mesh if n_dev > 1 else None)
-            rcfg_test = dataclasses.replace(rcfg_test,
-                                            occupancy_mode=args.occupancy)
-            print(f"occupancy grid active: mode={args.occupancy} "
-                  f"res={args.occupancy_res}")
+            if occupied_fraction(occ) <= 0.0:
+                # A grid with no support would give every ray the
+                # ε-uniform fallback CDF; grid-less rendering is always
+                # well-defined.
+                print("[WARN] occupancy bake found no positive density — "
+                      "rendering grid-less", flush=True)
+                occ = None
+            else:
+                rcfg_test = dataclasses.replace(
+                    rcfg_test, occupancy_mode=args.occupancy)
+                print(f"occupancy grid active: mode={args.occupancy} "
+                      f"res={args.occupancy_res}")
         if args.int8:
             from cvnerf_tpu.ops.quantize import (quantize_nerf,
                                                  ray_calibration_samples)
@@ -538,10 +551,20 @@ def main(argv=None):
                     params_best = replicate_to_mesh(params_best, mesh)
                 # The grid must match the params it resamples for: rebake
                 # from the best-val weights (a final-step grid would skew
-                # the best model's sampling).
+                # the best model's sampling). Empty-bake guard: a best
+                # checkpoint from the warmup phase may carry a density
+                # field the grid can't represent — score it grid-less
+                # (well-defined; its coarse net was still training then)
+                # rather than through a no-support sampler.
                 occ_best = (occ_bake(params_best)
                             if occ_bake is not None and
                             trainer.occupancy is not None else None)
+                if occ_best is not None:
+                    from cvnerf_tpu.render.occupancy import occupied_fraction
+                    if occupied_fraction(occ_best) <= 0.0:
+                        print("[WARN] best-val occupancy bake is empty — "
+                              "scoring the best model grid-less", flush=True)
+                        occ_best = None
                 if occ_best is not None and n_dev > 1:
                     from cvnerf_tpu.parallel.mesh import replicate_to_mesh
                     occ_best = replicate_to_mesh(occ_best, mesh)

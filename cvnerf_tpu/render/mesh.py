@@ -32,6 +32,7 @@ on shared faces — the mesh is crack-free by construction.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import numpy as np
@@ -212,6 +213,27 @@ def marching_tetrahedra(grid: np.ndarray, iso: float,
 # Density grid query (device, one jitted chunked program)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
+def _grid_query_fn(mlp: NerfMLPConfig, compute_dtype):
+    """One jitted chunked density query per (architecture, dtype).
+
+    Hoisted out of ``query_density_grid`` so repeated bakes (``--occ_train``
+    rebakes every N steps) hit the in-process jit executable cache instead
+    of re-tracing a fresh closure per call.
+    """
+    @jax.jit
+    def run(params, blocks):
+        def one(block):
+            enc = freq_encode(block, mlp.xyz_freqs)
+            dir_enc = jnp.zeros(block.shape[:-1] + (mlp.dir_dim,),
+                                block.dtype)
+            raw = apply_nerf(params, enc, dir_enc, mlp,
+                             compute_dtype=compute_dtype)
+            return raw[..., 3]
+        return lax.map(one, blocks)
+    return run
+
+
 def query_density_grid(net_params: dict, mlp: NerfMLPConfig,
                        bbox_min, bbox_max, resolution,
                        chunk: int = 65536,
@@ -238,17 +260,7 @@ def query_density_grid(net_params: dict, mlp: NerfMLPConfig,
     pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
     blocks = pts.reshape(n_blocks, chunk, 3)
 
-    @jax.jit
-    def run(params, blocks):
-        def one(block):
-            enc = freq_encode(block, mlp.xyz_freqs)
-            dir_enc = jnp.zeros(block.shape[:-1] + (mlp.dir_dim,),
-                                block.dtype)
-            raw = apply_nerf(params, enc, dir_enc, mlp,
-                             compute_dtype=compute_dtype)
-            return raw[..., 3]
-        return lax.map(one, blocks)
-
+    run = _grid_query_fn(mlp, np.dtype(compute_dtype))
     sigma = np.asarray(run(net_params, blocks)).reshape(-1)[:n]
     return sigma.reshape(tuple(res)).astype(np.float32)
 

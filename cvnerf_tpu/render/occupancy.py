@@ -124,8 +124,12 @@ def occupied_fraction(grid: OccupancyGrid) -> float:
     gradient becomes exactly zero and never recovers (observed on
     micro-fixtures). ``--occ_train`` therefore refuses to install an empty
     grid (``train.loop.maybe_set_occupancy``).
+
+    Computed device-side: only the scalar crosses to host (a res-192 table
+    is ~28 MB — never ``np.asarray`` a big array on the tunneled TPU,
+    CLAUDE.md).
     """
-    return float((np.asarray(grid.values) > 0).mean())
+    return float(jnp.mean((grid.values > 0).astype(jnp.float32)))
 
 
 def occupancy_sigma(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:

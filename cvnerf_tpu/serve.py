@@ -190,12 +190,19 @@ class NerfRenderer:
         if geo.get("calib_poses"):
             r.calib_poses = np.asarray(geo["calib_poses"], np.float32)
         if geo.get("occ_train"):
-            # The checkpoint was trained with --occ_train: its coarse net
-            # is untrained, so rendering MUST resample through a baked
-            # grid (full mode, the configuration it was trained under).
+            # The checkpoint was trained with --occ_train: past the warmup
+            # switch its coarse net is frozen at warmup quality, so render
+            # the way it was trained — through a baked grid (full mode).
+            # A checkpoint from a run that never actually switched (too
+            # short, or every bake came up empty) carries a fully-trained
+            # coarse net; serving it through a non-empty grid is then just
+            # standard occupancy serving (measured −0.05 dB, BASELINE.md),
+            # and require_occupied makes an EMPTY bake fall back to
+            # grid-less rendering instead of a no-support sampler.
             ot = geo["occ_train"]
             r.enable_occupancy(resolution=int(ot["resolution"]),
-                               bound=float(ot["bound"]), mode="full")
+                               bound=float(ot["bound"]), mode="full",
+                               require_occupied=True)
         return r
 
     def render_pose(self, c2w, factor: int = 0) -> np.ndarray:
@@ -222,8 +229,8 @@ class NerfRenderer:
         return {k: np.asarray(out[k]) for k in keys}
 
     def enable_occupancy(self, *, resolution: int = 192, dilate: int = 1,
-                         bound: float = 1.5,
-                         mode: str = "merge") -> "NerfRenderer":
+                         bound: float = 1.5, mode: str = "merge",
+                         require_occupied: bool = False) -> "NerfRenderer":
         """Bake an occupancy grid and serve all renders through it.
 
         Replaces the coarse MLP pass with a density-grid probe
@@ -232,19 +239,31 @@ class NerfRenderer:
         fine samples from the probe CDF without merging the probe depths
         (half the MLP evals). Measured deltas in BASELINE.md. The bake
         itself is one grid query (~seconds); it reflects the *current*
-        checkpoint — re-enable after loading different weights. Returns
+        checkpoint — re-enable after loading different weights.
+
+        ``require_occupied=True`` (the ``from_run_dir`` auto path): if the
+        bake finds no positive density anywhere, fall back to grid-less
+        rendering with a warning instead of installing a sampler with no
+        support (every ray would get the ε-uniform fallback CDF). Returns
         self for chaining.
         """
         if mode not in ("merge", "full"):
             raise ValueError(f"mode must be 'merge' or 'full', got {mode!r}")
-        self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode)
-        from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+        from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,
+                                                 occupied_fraction)
         # Bake from the host view of the float master copy (works
         # replicated or not, and composes with enable_int8 in any order).
-        self.occupancy = bake_scene_occupancy(
+        grid = bake_scene_occupancy(
             self._float_params, self.cfg.mlp, ndc=self.ndc, bound=bound,
             n_fine=self.cfg.n_fine, resolution=resolution, dilate=dilate,
             compute_dtype=self.cfg.compute_dtype, mesh=self.mesh)
+        if require_occupied and occupied_fraction(grid) <= 0.0:
+            print("[WARN] occupancy bake found no positive density — "
+                  "serving grid-less (the checkpoint's coarse net drives "
+                  "the resample)", flush=True)
+            return self
+        self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode)
+        self.occupancy = grid
         return self
 
     def enable_int8(self, *, poses=None, n_calib: int = 1 << 17,

@@ -117,10 +117,13 @@ def test_occ_scan_matches_single_step_bitwise():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_occ_mesh_matches_meshless_bitwise():
+def test_occ_mesh_matches_meshless():
     """The sharded occ step (shard_map over rays, replicated grid, pmean
-    grads) is bitwise-identical to the meshless step — the same
-    device-count invariance contract the normal step holds."""
+    grads) matches the meshless step to float tolerance. Renders are
+    bitwise device-count-invariant (per-ray RNG contract), but the
+    gradient ALLREDUCE reduction order differs between pmean-over-8 and a
+    meshless mean, so params are compared at 1e-6 — the same tolerance the
+    normal step's mesh-vs-meshless test uses (tests/test_sharding.py)."""
     from cvnerf_tpu.parallel.mesh import make_mesh
     mesh = make_mesh()
     if mesh is None or mesh.devices.size < 2:
@@ -207,8 +210,16 @@ def test_occ_train_cli_e2e(tmp_path):
               "--n_fine_samples", "8", "--trunk_width", "32",
               "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
               "--noise", "1.0", "--chunk", "256", "--print_freq", "5",
-              "--vid_freq", "0", "--val_freq", "0", "--lr", "5e-3",
-              "--iters", "10", "--ckpt_freq", "8",
+              # seed 1 + tiny lr: this seed's fine-net INIT bakes non-empty
+              # (seed 0's is negative everywhere in the cube) and the tiny
+              # lr keeps it that way for the whole micro-run, so the switch
+              # actually happens and the test exercises the full
+              # auto-enable round trip (at real lr the 6-step fixture
+              # collapses to an all-empty field and the guard correctly
+              # postpones forever).
+              "--vid_freq", "0", "--val_freq", "0", "--lr", "1e-5",
+              "--seed", "1",
+              "--iters", "6", "--ckpt_freq", "4",
               "--occ_train", "--occ_train_warmup", "2",
               "--occ_train_every", "3", "--occupancy_res", "8"])
     run_dir = os.path.join(logdir, "occ")
