@@ -394,11 +394,25 @@ def main(argv=None):
     from cvnerf_tpu.train.state import make_lr_schedule
     lr_sched = make_lr_schedule(args.lr, args.lr_decay)
 
+    dead_warned = [False]
+
     def log_cb(i, tr, m):
         extra = {k: m[k] for k in ("grad_norm",) if m.get(k) is not None}
         logger.log(i, loss=m["loss"], psnr=m["psnr"],
                    rays_per_sec=m["rays_per_sec"],
                    lr=float(lr_sched(i)), **extra)
+        if (not dead_warned[0] and m.get("grad_norm") == 0.0
+                and m.get("loss", 0.0) > 0.0):
+            # Exactly-zero gradient with nonzero loss is the dead-ReLU
+            # collapse signature: the density field went non-positive on
+            # every sampled point, the render equals the background
+            # constant, and no gradient path remains to recover. Observed
+            # on small scenes at aggressive lr (docs/DESIGN.md).
+            dead_warned[0] = True
+            print(f"[WARN] zero gradient with nonzero loss at step {i}: "
+                  f"the density field has likely collapsed (dead-ReLU "
+                  f"regime) — try a lower --lr, --noise > 0, or more "
+                  f"training views", flush=True)
 
     # One persistent manager for the whole run; saves are asynchronous so
     # checkpoint I/O overlaps the following train steps.
@@ -442,7 +456,11 @@ def main(argv=None):
     def occ_cb(i, tr, m):
         if i < args.occ_train_warmup:
             return
-        verdict = tr.maybe_set_occupancy(occ_bake(tr.state.params))
+        from cvnerf_tpu.render.occupancy import occupied_fraction
+        grid = occ_bake(tr.state.params)
+        verdict = tr.maybe_set_occupancy(grid)
+        logger.log(i, occ_verdict=verdict,
+                   occ_occupied_frac=round(occupied_fraction(grid), 5))
         if verdict == "switched":
             print(f"occ_train: switched to occupancy training at step {i} "
                   f"(res={args.occupancy_res}, rebake every "
