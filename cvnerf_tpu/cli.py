@@ -358,7 +358,8 @@ def main(argv=None):
         lr_decay=args.lr_decay, precrop_iters=args.precrop_iters,
         precrop_frac=args.precrop_frac, ndc=scene.ndc,
         ndc_variant=args.ndc_variant, pixel_sampling=args.pixel_sampling,
-        noise_decay=args.noise_decay, render=rcfg_train)
+        noise_decay=args.noise_decay, ray_batching=args.ray_batching,
+        render=rcfg_train)
     trainer = Trainer(tcfg, state, scene.images, scene.poses,
                       scene.train_idx, seed=args.seed, mesh=mesh,
                       steps_per_call=args.steps_per_call)

@@ -204,6 +204,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.random.choice without replacement (O(H*W) "
                         "sort, the reference's exact semantics); replace = "
                         "with replacement")
+    p.add_argument("--ray_batching", action="store_true",
+                   help="cross-image ray batching (flag-gated deviation): "
+                        "each step samples n_rays (image, pixel) pairs "
+                        "jointly without replacement over the WHOLE train "
+                        "split instead of the reference's one-random-image-"
+                        "per-step — the original NeRF paper's training mode "
+                        "for real multi-view captures (de-correlated "
+                        "batches). Precrop warm-up steps keep single-image "
+                        "center-crop semantics")
     p.add_argument("--steps_per_call", type=int, default=10,
                    help="train steps per device dispatch (lax.scan block; "
                         "bitwise-identical numerics, amortizes the ~0.5-1 ms "

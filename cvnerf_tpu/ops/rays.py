@@ -60,6 +60,26 @@ def rays_for_pixels(px_x: jnp.ndarray, px_y: jnp.ndarray,
     return origins, dirs_world
 
 
+def rays_for_pixels_batched(px_x: jnp.ndarray, px_y: jnp.ndarray,
+                            width: float, height: float, focal: float,
+                            c2w: jnp.ndarray
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray-camera variant of :func:`rays_for_pixels`.
+
+    ``c2w`` is ``[..., 3, 4]`` batched to match the pixel arrays: each ray
+    gets its own camera. Used by cross-image ray batching
+    (``--ray_batching``, ``train/loop.py``), where one training batch draws
+    pixels from every training view at once — the original NeRF paper's
+    training mode for real captures, absent from the reference (its step
+    always samples a single image, ``main.py:347-349``). Intrinsics
+    (width/height/focal) are shared, which holds for every loader here.
+    """
+    dirs_cam = camera_ray_directions(px_x, px_y, width, height, focal)
+    dirs_world = jnp.einsum("...k,...jk->...j", dirs_cam, c2w[..., :3, :3])
+    origins = jnp.broadcast_to(c2w[..., :3, -1], dirs_world.shape)
+    return origins, dirs_world
+
+
 def ray_grid(height: int, width: int, focal: float,
              c2w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full-image ray grid ``([H, W, 3], [H, W, 3])``.

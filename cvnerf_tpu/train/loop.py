@@ -69,6 +69,15 @@ class TrainConfig:
     # regularizer keeps perturbing converged geometry late in training
     # (VERDICT r2 weak #1 — the spherify band regressed from 3k to 50k).
     noise_decay: int = 0
+    # Cross-image ray batching (flag-gated deviation): each batch samples
+    # n_rays (image, pixel) pairs jointly without replacement over the
+    # ENTIRE train split, instead of the reference's one-random-image-
+    # per-step (main.py:347-349). This is the original NeRF paper's
+    # training mode for real captures (use_batching): per-step gradients
+    # see every camera, which de-correlates the batch on multi-view
+    # scenes. Precrop warm-up steps keep single-image center-crop
+    # semantics (a center crop is per-image by construction).
+    ray_batching: bool = False
     render: RenderConfig = RenderConfig()
 
 
@@ -124,10 +133,11 @@ def _build_step_core(cfg: TrainConfig,
         raise ValueError(
             f"n_rays={cfg.n_rays} must be divisible by the mesh size "
             f"{mesh.devices.size}")
-    if cfg.n_rays > cfg.height * cfg.width:
+    if cfg.n_rays > cfg.height * cfg.width and not cfg.ray_batching:
         raise ValueError(
             f"n_rays={cfg.n_rays} exceeds the {cfg.height}x{cfg.width} "
-            "pixel grid (sampling is without replacement)")
+            "pixel grid (sampling is without replacement; --ray_batching "
+            "samples over the whole train split instead)")
     if cfg.precrop_iters > 0:
         crop = (2 * int(cfg.height // 2 * cfg.precrop_frac)
                 * 2 * int(cfg.width // 2 * cfg.precrop_frac))
@@ -177,16 +187,38 @@ def _build_step_core(cfg: TrainConfig,
                 train_idx: jnp.ndarray, precrop: bool):
         k_img, k_pix, k_render = jax.random.split(key, 3)
 
-        # One random training image per step (reference main.py:347-349).
-        im_idx = train_idx[jax.random.randint(k_img, (), 0, train_idx.shape[0])]
-        image = images[im_idx]
-        pose = poses[im_idx]
+        if cfg.ray_batching and not precrop:
+            # Cross-image batching: n_rays (image, pixel) pairs drawn
+            # jointly without replacement over the whole train split via
+            # the same Feistel PRP, domain n_train·H·W. Three O(n_rays)
+            # gathers (target pixels, per-ray poses) replace the
+            # single-image slice — a once-per-step cost, not per-sample
+            # (CLAUDE.md's no-gather rule targets per-sample hot loops).
+            from cvnerf_tpu.ops.rays import rays_for_pixels_batched
+            from cvnerf_tpu.ops.rng import sample_without_replacement
+            h, w = cfg.height, cfg.width
+            n_train = train_idx.shape[0]
+            flat = sample_without_replacement(k_pix, cfg.n_rays,
+                                              n_train * h * w)
+            im_idx = train_idx[flat // (h * w)]      # [n_rays]
+            pix = flat % (h * w)
+            py, px = pix // w, pix % w
+            target = images[im_idx, py, px]          # [n_rays, 3]
+            rays_o, rays_d = rays_for_pixels_batched(
+                px, py, w, h, cfg.focal, poses[im_idx])
+        else:
+            # One random training image per step (reference
+            # main.py:347-349).
+            im_idx = train_idx[
+                jax.random.randint(k_img, (), 0, train_idx.shape[0])]
+            image = images[im_idx]
+            pose = poses[im_idx]
 
-        py, px = _sample_pixels(k_pix, cfg, precrop)
-        target = image[py, px]  # [n_rays, 3]
+            py, px = _sample_pixels(k_pix, cfg, precrop)
+            target = image[py, px]  # [n_rays, 3]
 
-        rays_o, rays_d = rays_for_pixels(px, py, cfg.width, cfg.height,
-                                         cfg.focal, pose)
+            rays_o, rays_d = rays_for_pixels(px, py, cfg.width, cfg.height,
+                                             cfg.focal, pose)
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         if cfg.ndc:
             rays_o, rays_d = ndc_rays(cfg.height, cfg.width, cfg.focal, 1.0,
@@ -351,6 +383,12 @@ class Trainer:
         self.images = jnp.asarray(images, jnp.float32)
         self.poses = jnp.asarray(poses, jnp.float32)[:, :3, :4]
         self.train_idx = jnp.asarray(np.asarray(train_idx), jnp.int32)
+        if cfg.ray_batching:
+            pool = len(np.asarray(train_idx)) * cfg.height * cfg.width
+            if cfg.n_rays > pool:
+                raise ValueError(
+                    f"n_rays={cfg.n_rays} exceeds the ray-batching pool of "
+                    f"{pool} pixels across the train split")
         if mesh is not None:
             # Replicate state and the device-resident dataset across the
             # mesh (a freshly-restored checkpoint otherwise sits on one
