@@ -165,6 +165,33 @@ def test_batched_pool_validation():
         _trainer(_cfg(n_rays=64, height=4, width=4), images, poses)
 
 
+def test_batching_composes_with_occ_train():
+    """--ray_batching and --occ_train are orthogonal: the occ step variant
+    with cross-image batching trains the fine net and keeps the coarse one
+    frozen."""
+    from cvnerf_tpu.render.occupancy import bake_scene_occupancy
+    images, poses = _scene()
+    import dataclasses
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, occupancy_mode="full"))
+    tr = _trainer(cfg, images, poses)
+    tr.run(1, 3)
+    coarse_before = jax.tree.map(np.asarray, tr.state.params["coarse"])
+    # Install directly (set_occupancy): the composition under test is the
+    # step math; whether this micro-fixture's 2-step bake clears the
+    # empty-grid guard is covered by test_occ_train.
+    tr.set_occupancy(bake_scene_occupancy(
+        tr.state.params, TINY_MLP, ndc=False, bound=1.5, n_fine=8,
+        resolution=8))
+    m = tr.run(3, 7)
+    assert np.isfinite(m["loss"])
+    for a, b in zip(jax.tree.leaves(coarse_before),
+                    jax.tree.leaves(jax.tree.map(
+                        np.asarray, tr.state.params["coarse"]))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cli_flag_roundtrip(tmp_path):
     """--ray_batching trains end-to-end through the CLI."""
     import os, sys
