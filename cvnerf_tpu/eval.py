@@ -1,0 +1,138 @@
+"""Standalone checkpoint evaluation: PSNR/SSIM(/LPIPS) over a dataset split.
+
+The reference computes no quantitative evaluation at all (its only runtime
+numbers are raw loss prints, reference ``main.py:406-407``; SURVEY.md §4).
+This scores any run-dir checkpoint against the held-out views of a dataset
+in one command — including reference-trained checkpoints brought in via
+``cvnerf-import``, which is the cross-framework parity workflow:
+import → eval → compare.
+
+Usage:
+    cvnerf-eval --run logs/lego --data_dir data/lego --dtype blender
+    cvnerf-eval --run logs/fern --data_dir data/fern --dtype llff \
+                --split val --step 50000 --out eval.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", required=True,
+                   help="training run directory (scene.json + checkpoints)")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--dtype", default="blender", choices=["blender", "llff"])
+    p.add_argument("--split", default="test",
+                   choices=["test", "val", "train"])
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--max_views", type=int, default=0,
+                   help="score at most N views (0 = all)")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="AlexNet-LPIPS weights .npz (utils/lpips.py); adds "
+                        "LPIPS to the report")
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the report as JSON here")
+    # Dataset-loader flags (must match how the run was trained; the
+    # GEOMETRY is cross-checked against the run's scene.json).
+    p.add_argument("--half_res", action="store_true")
+    p.add_argument("--testskip", type=int, default=8)
+    p.add_argument("--white_bkg", action="store_true")
+    p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--no_ndc", action="store_true")
+    p.add_argument("--llffhold", type=int, default=8)
+    p.add_argument("--spherify", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    cache_dir = os.environ.get(
+        "CVNERF_JAX_CACHE",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from cvnerf_tpu.data import load_scene
+    from cvnerf_tpu.serve import NerfRenderer
+    from cvnerf_tpu.utils.image import psnr_images, ssim_images
+
+    scene = load_scene(
+        args.data_dir, args.dtype, half_res=args.half_res,
+        testskip=args.testskip, white_bkg=args.white_bkg,
+        factor=args.factor, no_ndc=args.no_ndc, llffhold=args.llffhold,
+        spherify=args.spherify)
+    idx = {"test": scene.test_idx, "val": scene.val_idx,
+           "train": scene.train_idx}[args.split]
+    idx = list(np.asarray(idx))
+    if not idx:
+        sys.exit(f"dataset has no '{args.split}' views")
+    if args.max_views > 0:
+        idx = idx[:args.max_views]
+
+    r = NerfRenderer.from_run_dir(args.run, chunk=args.chunk,
+                                  step=args.step)
+    if (r.height, r.width) != (scene.height, scene.width):
+        sys.exit(
+            f"geometry mismatch: the run was trained at {r.height}x"
+            f"{r.width} (scene.json) but the dataset loads as "
+            f"{scene.height}x{scene.width} — check --half_res/--factor")
+
+    lpips_bundle = None
+    if args.lpips_weights:
+        from cvnerf_tpu.utils.lpips import load_weights
+        lpips_bundle = load_weights(args.lpips_weights)
+
+    per_view = []
+    for i in idx:
+        rgb = r.render_pose(np.asarray(scene.poses[int(i)], np.float32))
+        gt = np.asarray(scene.images[int(i)])[..., :3]
+        rec = {"view": int(i),
+               "psnr": round(float(psnr_images(rgb, gt)), 4),
+               "ssim": round(float(ssim_images(rgb, gt)), 5)}
+        if lpips_bundle is not None:
+            from cvnerf_tpu.utils.lpips import lpips_images
+            rec["lpips"] = round(float(lpips_images(rgb, gt,
+                                                    lpips_bundle)), 5)
+        per_view.append(rec)
+        print(f"view {rec['view']:3d}: psnr={rec['psnr']:.3f} "
+              f"ssim={rec['ssim']:.4f}"
+              + (f" lpips={rec['lpips']:.4f}" if "lpips" in rec else ""),
+              flush=True)
+
+    report = {
+        "run": os.path.abspath(args.run),
+        "step": int(r.step),
+        "split": args.split,
+        "n_views": len(per_view),
+        "psnr": round(float(np.mean([v["psnr"] for v in per_view])), 4),
+        "ssim": round(float(np.mean([v["ssim"] for v in per_view])), 5),
+        "per_view": per_view,
+    }
+    if lpips_bundle is not None:
+        report["lpips"] = round(
+            float(np.mean([v["lpips"] for v in per_view])), 5)
+    print(f"{args.split} @ step {report['step']}: "
+          f"psnr={report['psnr']:.3f} ssim={report['ssim']:.4f}"
+          + (f" lpips={report['lpips']:.4f}" if "lpips" in report else "")
+          + f" over {report['n_views']} views")
+    if args.out:
+        with open(args.out, "w") as fp:
+            json.dump(report, fp, indent=2)
+        print(f"report written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
