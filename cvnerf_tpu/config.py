@@ -138,7 +138,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured 1.56x at -0.05 dB — BASELINE.md). "
                         "Ignored during training (see --occ_train for the "
                         "training-time variant)")
-    p.add_argument("--occ_train", action="store_true",
+    p.add_argument("--occ_train",
+                   action=argparse.BooleanOptionalAction, default=False,
                    help="occupancy-accelerated TRAINING (flag-gated "
                         "deviation from the reference): after "
                         "--occ_train_warmup reference-semantics steps, "
@@ -161,7 +162,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--occupancy_bound", type=float, default=1.5,
                    help="half-width of the occupancy bake cube for "
                         "non-NDC scenes (NDC scenes use the NDC box)")
-    p.add_argument("--int8", action="store_true",
+    p.add_argument("--int8",
+                   action=argparse.BooleanOptionalAction, default=False,
                    help="render_only: post-training-quantize the restored "
                         "nets to int8 and render through the fused int8 "
                         "kernel (ops.quantize; composes with --occupancy). "
@@ -204,7 +206,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.random.choice without replacement (O(H*W) "
                         "sort, the reference's exact semantics); replace = "
                         "with replacement")
-    p.add_argument("--ray_batching", action="store_true",
+    p.add_argument("--ray_batching",
+                   action=argparse.BooleanOptionalAction, default=False,
                    help="cross-image ray batching (flag-gated deviation): "
                         "each step samples n_rays (image, pixel) pairs "
                         "jointly without replacement over the WHOLE train "
@@ -224,13 +227,20 @@ def build_parser() -> argparse.ArgumentParser:
 # true in a config file CAN be overridden back off from the CLI with
 # ``--no-<flag>`` (plain store_true has no negative form, which silently
 # broke the "CLI overrides config file" contract).
-_BOOL_FLAGS = {"no_reload", "render_only", "render_test", "white_bkg",
-               "half_res", "no_ndc", "spherify", "bf16", "debug_nans",
-               "deterministic_resample", "sorted_resample", "render_depth",
-               "track_best"}
+def _bool_flags(parser: argparse.ArgumentParser) -> set[str]:
+    """Boolean flag names, derived from the parser itself.
+
+    Was a hand-maintained set once — which silently drifted the first time
+    a new boolean flag landed (``occ_train = True`` in a config file was
+    rejected as ``unrecognized arguments``). Deriving from the registered
+    actions makes every BooleanOptionalAction config-file-settable by
+    construction.
+    """
+    return {a.dest for a in parser._actions
+            if isinstance(a, argparse.BooleanOptionalAction)}
 
 
-def _config_file_to_argv(path: str) -> list[str]:
+def _config_file_to_argv(path: str, bool_flags: set[str]) -> list[str]:
     """``key = value`` lines → argv fragments (configargparse semantics for
     the subset the reference configs use: scalars and booleans)."""
     argv: list[str] = []
@@ -242,7 +252,7 @@ def _config_file_to_argv(path: str) -> list[str]:
             if "=" not in line:
                 raise ValueError(f"{path}: bad config line {line!r}")
             key, value = (s.strip() for s in line.split("=", 1))
-            if key in _BOOL_FLAGS:
+            if key in bool_flags:
                 if value.lower() in ("true", "1", "yes"):
                     argv.append(f"--{key}")
                 elif value.lower() in ("false", "0", "no"):
@@ -259,7 +269,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     parser = build_parser()
     pre, _ = parser.parse_known_args(argv)
     if pre.config:
-        file_argv = _config_file_to_argv(pre.config)
+        file_argv = _config_file_to_argv(pre.config, _bool_flags(parser))
         args = parser.parse_args(file_argv)
         args = parser.parse_args(argv, namespace=args)
     else:

@@ -48,6 +48,43 @@ def test_parse_reference_config_file(tmp_path):
     assert args.chunk == 4096
 
 
+def test_every_bool_flag_is_config_file_settable(tmp_path):
+    """Every boolean flag must parse as `key = True/False` in a config
+    file. The bool set is derived from the parser (config.py::_bool_flags)
+    precisely because its hand-maintained predecessor silently drifted:
+    `occ_train = True` was rejected as 'unrecognized arguments'."""
+    import argparse
+    from cvnerf_tpu.config import build_parser
+    parser = build_parser()
+    bools = sorted(a.dest for a in parser._actions
+                   if isinstance(a, argparse.BooleanOptionalAction))
+    assert "occ_train" in bools and "ray_batching" in bools
+    cfg = tmp_path / "all_bools.txt"
+    cfg.write_text("".join(f"{b} = True\n" for b in bools))
+    args = parse_args(["--config", str(cfg)])
+    for b in bools:
+        assert getattr(args, b) is True, b
+    cfg.write_text("".join(f"{b} = False\n" for b in bools))
+    args = parse_args(["--config", str(cfg)])
+    for b in bools:
+        assert getattr(args, b) is False, b
+
+
+def test_shipped_configs_parse():
+    """Every configs/*.txt ships parseable (lego_fast.txt exercises the
+    boolean acceleration flags through the file layer)."""
+    import glob
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = glob.glob(os.path.join(repo, "configs", "*.txt"))
+    assert paths
+    for p in paths:
+        args = parse_args(["--config", p])
+        assert args.name
+    fast = parse_args(["--config", os.path.join(repo, "configs",
+                                                "lego_fast.txt")])
+    assert fast.occ_train and fast.ray_batching and fast.track_best
+
+
 def test_cli_overrides_config_file(tmp_path):
     cfg = tmp_path / "c.txt"
     cfg.write_text("n_rays = 1024\nlr = 0.001\n")
