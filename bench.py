@@ -177,16 +177,35 @@ def bench(train_steps: int = 200, warmup: int = 20,
         cursors[name] = warmup + 1
     if "occ" in trainers:
         # Measure with a realistic probe CDF: rebake from the "on" arm's
-        # post-warmup params (same shapes as the compile-time grid).
-        trainers["occ"].set_occupancy(bake_occ_grid(tr.state.params))
+        # post-warmup params (same shapes as the compile-time grid). A
+        # rebake failure keeps the compile-time grid — speed is
+        # table-content-independent.
+        try:
+            trainers["occ"].set_occupancy(bake_occ_grid(tr.state.params))
+        except Exception as e:  # noqa: BLE001
+            import sys as _sys
+            print(f"# occ rebake failed (keeping compile-time grid): {e!r}",
+                  file=_sys.stderr, flush=True)
     train_times = {name: [] for name in trainers}
     final = None
     for _ in range(1 if smoke else 3):
-        for name, t in trainers.items():       # alternate on/off windows
+        for name, t in list(trainers.items()):  # alternate on/off windows
+            if name not in trainers:
+                continue
             s = steps_for[name]
             t0 = time.perf_counter()
-            out = t.run(cursors[name], cursors[name] + s)
-            sync(t)
+            try:
+                out = t.run(cursors[name], cursors[name] + s)
+                sync(t)
+            except Exception as e:  # noqa: BLE001
+                if name != "occ":
+                    raise
+                import sys as _sys
+                print(f"# occ arm disabled (measurement failed): {e!r}",
+                      file=_sys.stderr, flush=True)
+                del trainers[name]
+                train_times.pop(name, None)
+                continue
             train_times[name].append(time.perf_counter() - t0)
             cursors[name] += s
             if name == "on":

@@ -33,17 +33,8 @@ def main(argv=None):
               f"{jax.process_count()}")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    # Persistent XLA compile cache: full-frame render programs take minutes
-    # to compile cold on TPU; cached they load in seconds. Default sits next
-    # to the package's parent (the repo root in a source checkout);
-    # overridable for installed deployments.
-    cache_dir = os.environ.get(
-        "CVNERF_JAX_CACHE",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cvnerf_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     import jax.numpy as jnp
     from cvnerf_tpu.data import load_scene
@@ -459,9 +450,10 @@ def main(argv=None):
             return
         from cvnerf_tpu.render.occupancy import occupied_fraction
         grid = occ_bake(tr.state.params)
-        verdict = tr.maybe_set_occupancy(grid)
+        frac = occupied_fraction(grid)
+        verdict = tr.maybe_set_occupancy(grid, occupied_frac=frac)
         logger.log(i, occ_verdict=verdict,
-                   occ_occupied_frac=round(occupied_fraction(grid), 5))
+                   occ_occupied_frac=round(frac, 5))
         if verdict == "switched":
             print(f"occ_train: switched to occupancy training at step {i} "
                   f"(res={args.occupancy_res}, rebake every "

@@ -41,39 +41,60 @@ def build_parser() -> argparse.ArgumentParser:
                         "LPIPS to the report")
     p.add_argument("--out", type=str, default=None,
                    help="also write the report as JSON here")
-    # Dataset-loader flags (must match how the run was trained; the
-    # GEOMETRY is cross-checked against the run's scene.json).
-    p.add_argument("--half_res", action="store_true")
-    p.add_argument("--testskip", type=int, default=8)
-    p.add_argument("--white_bkg", action="store_true")
-    p.add_argument("--factor", type=int, default=8)
-    p.add_argument("--no_ndc", action="store_true")
-    p.add_argument("--llffhold", type=int, default=8)
-    p.add_argument("--spherify", action="store_true")
+    # Dataset-loader flags. Defaults come from the RUN's own
+    # config_resolved.json (written at train time), so re-typing them is
+    # never required and cannot silently diverge — a hand-typed
+    # --white_bkg mismatch, for instance, would score ground truth
+    # composited over the wrong background with no error. CLI values
+    # override the run's record; geometry is additionally cross-checked
+    # against scene.json after loading.
+    p.add_argument("--half_res", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--testskip", type=int, default=None)
+    p.add_argument("--white_bkg", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--factor", type=int, default=None)
+    p.add_argument("--no_ndc", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--llffhold", type=int, default=None)
+    p.add_argument("--spherify", action=argparse.BooleanOptionalAction,
+                   default=None)
     return p
+
+
+_LOADER_DEFAULTS = {"half_res": False, "testskip": 8, "white_bkg": False,
+                    "factor": 8, "no_ndc": False, "llffhold": 8,
+                    "spherify": False}
+
+
+def _resolve_loader_flags(args: argparse.Namespace, run_dir: str) -> dict:
+    """Loader flags: CLI value → the run's config_resolved.json → default."""
+    run_cfg = {}
+    path = os.path.join(run_dir, "config_resolved.json")
+    if os.path.exists(path):
+        with open(path) as fp:
+            run_cfg = json.load(fp)
+    out = {}
+    for k, hard_default in _LOADER_DEFAULTS.items():
+        v = getattr(args, k)
+        if v is None:
+            v = run_cfg.get(k, hard_default)
+        out[k] = v
+    return out
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
-    import jax
-    cache_dir = os.environ.get(
-        "CVNERF_JAX_CACHE",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cvnerf_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from cvnerf_tpu.data import load_scene
     from cvnerf_tpu.serve import NerfRenderer
     from cvnerf_tpu.utils.image import psnr_images, ssim_images
 
-    scene = load_scene(
-        args.data_dir, args.dtype, half_res=args.half_res,
-        testskip=args.testskip, white_bkg=args.white_bkg,
-        factor=args.factor, no_ndc=args.no_ndc, llffhold=args.llffhold,
-        spherify=args.spherify)
+    loader = _resolve_loader_flags(args, args.run)
+    scene = load_scene(args.data_dir, args.dtype, **loader)
     idx = {"test": scene.test_idx, "val": scene.val_idx,
            "train": scene.train_idx}[args.split]
     idx = list(np.asarray(idx))

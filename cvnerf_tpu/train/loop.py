@@ -138,6 +138,13 @@ def _build_step_core(cfg: TrainConfig,
             f"n_rays={cfg.n_rays} exceeds the {cfg.height}x{cfg.width} "
             "pixel grid (sampling is without replacement; --ray_batching "
             "samples over the whole train split instead)")
+    if cfg.ray_batching and cfg.pixel_sampling != "prp":
+        raise ValueError(
+            "ray_batching draws the joint (image, pixel) sample with the "
+            "Feistel PRP only — pixel_sampling="
+            f"{cfg.pixel_sampling!r} is not implemented over the "
+            "cross-image pool (precrop warm-up steps would honor it while "
+            "steady-state steps ignored it, which is worse than refusing)")
     if cfg.precrop_iters > 0:
         crop = (2 * int(cfg.height // 2 * cfg.precrop_frac)
                 * 2 * int(cfg.width // 2 * cfg.precrop_frac))
@@ -428,7 +435,8 @@ class Trainer:
                     self.cfg, self.steps_per_call, self.mesh,
                     with_occupancy=True)
 
-    def maybe_set_occupancy(self, grid) -> str:
+    def maybe_set_occupancy(self, grid, occupied_frac: float | None = None
+                            ) -> str:
         """``set_occupancy`` behind the empty-grid guard (``--occ_train``).
 
         Returns what happened: ``"switched"`` (first install), ``"rebaked"``
@@ -444,9 +452,15 @@ class Trainer:
         switch step, never recovering). An empty bake means the warmup
         hasn't produced a surface yet; training through the learned coarse
         net is the only sampler with a gradient path out of that state.
+
+        ``occupied_frac``: pass the precomputed fraction when the caller
+        already has it (one grid reduction + host sync per rebake, not
+        two — each sync crosses the tunneled-TPU dispatch path).
         """
-        from cvnerf_tpu.render.occupancy import occupied_fraction
-        if occupied_fraction(grid) <= 0.0:
+        if occupied_frac is None:
+            from cvnerf_tpu.render.occupancy import occupied_fraction
+            occupied_frac = occupied_fraction(grid)
+        if occupied_frac <= 0.0:
             return "postponed" if self.occupancy is None else "kept"
         switched = self.occupancy is None
         self.set_occupancy(grid)

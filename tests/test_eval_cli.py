@@ -38,8 +38,11 @@ def test_eval_cli_scores_split(tmp_path, capsys):
 
     data_dir, run_dir = _train_micro_run(tmp_path)
     out_path = str(tmp_path / "eval.json")
+    # No loader flags on purpose: white_bkg/testskip must default from the
+    # run's config_resolved.json (a hand-typed mismatch would silently
+    # score ground truth composited over the wrong background).
     eval_main(["--run", run_dir, "--data_dir", data_dir,
-               "--dtype", "blender", "--white_bkg", "--testskip", "1",
+               "--dtype", "blender",
                "--split", "test", "--chunk", "512", "--out", out_path])
     report = json.load(open(out_path))
     assert report["split"] == "test" and report["n_views"] == 2
