@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "LPIPS to the report")
     p.add_argument("--out", type=str, default=None,
                    help="also write the report as JSON here")
+    p.add_argument("--save_renders", type=str, default=None,
+                   help="also write each rendered view as PNG into this "
+                        "directory (view_<idx>.png)")
     # Dataset-loader flags. Defaults come from the RUN's own
     # config_resolved.json (written at train time), so re-typing them is
     # never required and cannot silently diverge — a hand-typed
@@ -116,9 +119,16 @@ def main(argv=None) -> None:
         from cvnerf_tpu.utils.lpips import load_weights
         lpips_bundle = load_weights(args.lpips_weights)
 
+    if args.save_renders:
+        os.makedirs(args.save_renders, exist_ok=True)
+
     per_view = []
     for i in idx:
         rgb = r.render_pose(np.asarray(scene.poses[int(i)], np.float32))
+        if args.save_renders:
+            from cvnerf_tpu.utils.image import write_png
+            write_png(os.path.join(args.save_renders,
+                                   f"view_{int(i):03d}.png"), rgb)
         gt = np.asarray(scene.images[int(i)])[..., :3]
         rec = {"view": int(i),
                "psnr": round(float(psnr_images(rgb, gt)), 4),
