@@ -161,6 +161,61 @@ def test_occ_rebake_reuses_compiled_step():
     assert tr._step_fn_occ is fn_before
 
 
+def test_full_mode_samples_concentrate_in_occupied_space():
+    """With a grid occupied only in a thin world-space slab, full-mode
+    sampling must place (nearly all of) the fine-net query points inside
+    that slab — the semantic contract of probe-CDF sampling, tested
+    end-to-end through render_rays by capturing the fine pass's points."""
+    import cvnerf_tpu.render.renderer as renderer_mod
+    from cvnerf_tpu.render.occupancy import OccupancyGrid
+    from cvnerf_tpu.render.renderer import render_rays
+
+    # Grid over the cube [-1.5, 1.5]^3, occupied only where z is within
+    # one lattice cell of 0.5 (rays below travel -z from z=4, so depths
+    # t in [3.3, 3.7] hit the slab).
+    res = 16
+    zs = np.linspace(-1.5, 1.5, res, dtype=np.float32)
+    values = np.zeros((res, res, res), np.float32)
+    values[:, :, np.abs(zs - 0.5) < (3.0 / (res - 1))] = 1.0
+    grid = OccupancyGrid(values=jnp.asarray(values),
+                         bbox_min=jnp.full((3,), -1.5),
+                         inv_spacing=jnp.full((3,), (res - 1) / 3.0))
+
+    captured = []
+    orig = renderer_mod._query_mlp
+
+    def capture(params, points, viewdirs, cfg):
+        captured.append(np.asarray(points))
+        return orig(params, points, viewdirs, cfg)
+
+    # 32 probe samples: the resample can only localize to its bracketing
+    # probe bin, so the CDF granularity (t-range 4 / n_coarse) must be
+    # finer than the slab tolerance below.
+    cfg = RenderConfig(n_coarse=32, n_fine=16, perturb=True,
+                       noise_std=0.0, mlp=TINY_MLP,
+                       occupancy_mode="full")
+    state = create_train_state(jax.random.PRNGKey(0), lr=1e-3,
+                               lr_decay=250, mlp=TINY_MLP)
+    n = 64
+    rays_o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (n, 1))
+    renderer_mod._query_mlp = capture
+    try:
+        render_rays(jax.random.PRNGKey(5), state.params, rays_o, rays_d,
+                    rays_d, jnp.full((n,), 2.0), jnp.full((n,), 6.0),
+                    cfg, occupancy=grid)
+    finally:
+        renderer_mod._query_mlp = orig
+
+    # Full mode: exactly ONE MLP pass (the fine net on n_fine points).
+    assert len(captured) == 1
+    pts = captured[0]
+    assert pts.shape == (n, cfg.n_fine, 3)
+    in_slab = np.abs(pts[..., 2] - 0.5) < 0.35
+    frac = in_slab.mean()
+    assert frac > 0.9, f"only {frac:.2%} of fine samples hit the slab"
+
+
 def test_empty_grid_guard():
     """An all-empty bake must never install (postponed before the switch,
     previous grid kept after it): resampling through an empty grid can
