@@ -295,20 +295,22 @@ def bench(train_steps: int = 200, warmup: int = 20,
 def _retry_if_backend_flake(exc: RuntimeError) -> None:
     """Re-exec the bench after a transient TPU-tunnel init failure.
 
-    The axon tunnel occasionally drops for minutes at a time (observed:
-    'Unable to initialize backend ... UNAVAILABLE'); a failed init poisons
-    the JAX process, so a clean retry needs a fresh interpreter. Bounded
-    at 5 attempts x 150 s so a hard outage still fails within ~13 min.
+    The axon tunnel drops for minutes to HOURS at a time (observed: a 7 h
+    outage where a trivial matmul hung and init raised 'Unable to
+    initialize backend ... UNAVAILABLE' — CLAUDE.md); a failed init
+    poisons the JAX process, so a clean retry needs a fresh interpreter.
+    Bounded at 8 attempts x 300 s (~40 min) — long enough to ride out the
+    tail of an outage, bounded so a hard outage still fails.
     """
     import sys
     if "Unable to initialize backend" not in str(exc):
         raise exc
     n = int(os.environ.get("CVNERF_BENCH_RETRY", "0"))
-    if n >= 5:
+    if n >= 8:
         raise exc
-    print(f"# TPU backend unavailable (attempt {n + 1}/5); retrying in "
-          "150 s", file=sys.stderr, flush=True)
-    time.sleep(150)
+    print(f"# TPU backend unavailable (attempt {n + 1}/8); retrying in "
+          "300 s", file=sys.stderr, flush=True)
+    time.sleep(300)
     os.environ["CVNERF_BENCH_RETRY"] = str(n + 1)
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
