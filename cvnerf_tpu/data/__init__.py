@@ -11,8 +11,16 @@ from cvnerf_tpu.data.poses import (
     spiral_render_path,
 )
 from cvnerf_tpu.data.datasets import SceneData, load_scene
+from cvnerf_tpu.data.synthetic import (
+    make_blender_dataset,
+    make_llff_dataset,
+    make_llff_360_dataset,
+)
 
 __all__ = [
+    "make_blender_dataset",
+    "make_llff_dataset",
+    "make_llff_360_dataset",
     "load_blender_data",
     "load_llff_data",
     "pose_spherical",

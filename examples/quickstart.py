@@ -9,16 +9,13 @@ Run from the repo root:  python examples/quickstart.py [out_dir]
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(out_dir: str = "/tmp/cvnerf_quickstart"):
     import jax
     import numpy as np
-    from fixtures import make_blender_dataset
-
-    from cvnerf_tpu.data import load_scene
+    from cvnerf_tpu.data import load_scene, make_blender_dataset
     from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
     from cvnerf_tpu.render.frames import render_image
     from cvnerf_tpu.render.renderer import RenderConfig

@@ -5,7 +5,8 @@ check the final held-out test PSNR against the band in
 
 The reference bundles no lego/fern images, so quality evidence uses the
 seeded, analytically-rendered multi-view-consistent fixtures
-(``tests/fixtures.py``) in the exact Blender/LLFF on-disk formats. Three
+(``cvnerf_tpu.data.synthetic``, installed as ``cvnerf-demo-data``) in the
+exact Blender/LLFF on-disk formats. Three
 canonical regression scenes:
 
 * ``checker`` (default) — a CHECKER-textured sphere in Blender format: hard
@@ -58,7 +59,8 @@ BANDS = os.path.join(REPO, "results", "psnr_bands.json")
 
 def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
     """Build the dataset; return (data_dir, extra CLI flags, band info)."""
-    from fixtures import make_blender_dataset, make_llff_dataset
+    from cvnerf_tpu.data.synthetic import (make_blender_dataset,
+                                            make_llff_dataset)
 
     if scene == "checker":
         data_dir = os.path.join(workdir, "checker")
@@ -67,7 +69,7 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
                  "--precrop_iters", "500", "--precrop_frac", "0.5"]
         info = {"scene": "checker-textured sphere, 10 train views, 100x100, "
-                         "seeded fixture (tests/fixtures.py)",
+                         "seeded fixture (data.synthetic)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
     elif scene == "sphere_hi":
@@ -81,12 +83,12 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
                  "--precrop_iters", "500", "--precrop_frac", "0.5"]
         info = {"scene": "normals-shaded sphere (band-limited), 40 train "
-                         "views, 200x200, seeded fixture (tests/fixtures.py)",
+                         "views, 200x200, seeded fixture (data.synthetic)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
     elif scene == "llff_360":
         data_dir = os.path.join(workdir, "s360")
-        from fixtures import make_llff_360_dataset
+        from cvnerf_tpu.data.synthetic import make_llff_360_dataset
         make_llff_360_dataset(data_dir, n=30, h=100, w=100, focal=120.0)
         # The --spherify workload: 360-degree inward-facing capture, non-NDC
         # bounds (the reference parses spherify but ignores it, main.py:450).
@@ -111,7 +113,7 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         info = {"scene": "360-degree inward rings of 30 cameras around a "
                          "checker sphere (3 elevations), 100x100 LLFF, spherified, "
                          "24 train / 3 val / 3 test views "
-                         "(tests/fixtures.py::make_llff_360_dataset)",
+                         "(data.synthetic.make_llff_360_dataset)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, "
                           "spherify+no_ndc, noise 1.0 annealed to 0 by 25k, "
                           "best-val checkpoint selection, lr 5e-4/decay 500, "
@@ -124,7 +126,7 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         flags = ["--dtype", "llff", "--factor", "1", "--llffhold", "8",
                  "--noise", "1.0"]
         info = {"scene": "sinusoid-textured forward-facing plane, 12 views, "
-                         "96x128 LLFF/NDC, seeded fixture (tests/fixtures.py)",
+                         "96x128 LLFF/NDC, seeded fixture (data.synthetic)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, NDC, "
                           "noise 1.0, lr 5e-4/decay 500, seed 0"}
     else:
