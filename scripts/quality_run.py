@@ -143,6 +143,25 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
                          "(scripts/ref_artifact_dataset.py)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
+    elif scene == "ref_ship":
+        # Secondary real-content scene: the reference's committed ship
+        # spiral is from only 20k steps of training (visibly blurrier than
+        # the 95k lego), so its band mostly checks that the pipeline
+        # reproduces a SOFT radiance field too.
+        from ref_artifact_dataset import make_ref_lego_dataset, REF_SHIP_MP4
+        if not os.path.exists(REF_SHIP_MP4):
+            raise SystemExit(
+                f"reference artifact not available: {REF_SHIP_MP4}")
+        data_dir = os.path.join(workdir, "ref_ship")
+        make_ref_lego_dataset(data_dir, mp4_path=REF_SHIP_MP4)
+        flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
+                 "--precrop_iters", "500", "--precrop_frac", "0.5"]
+        info = {"scene": "REAL ship (reference's committed 20k spiral "
+                         "render + derived spherical poses), 32 train / 4 "
+                         "val / 4 test views on the phi=-30 ring, 400x400 "
+                         "(scripts/ref_artifact_dataset.py)",
+                "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
+                          "500/0.5, lr 5e-4/decay 500, seed 0"}
     elif scene == "llff_plane":
         data_dir = os.path.join(workdir, "plane")
         make_llff_dataset(data_dir, n=12, h=96, w=128, focal=120.0)
@@ -223,7 +242,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50000)
     ap.add_argument("--scene", default="checker",
                     choices=["checker", "llff_plane", "llff_360",
-                             "sphere_hi", "ref_lego", "all"],
+                             "sphere_hi", "ref_lego", "ref_ship", "all"],
                     help="'all' sweeps every banded scene at --iters "
                          "(regression check across all three data paths "
                          "in one command); exits nonzero if ANY band "

@@ -46,6 +46,9 @@ import numpy as np
 
 REF_MP4 = ("/root/reference/blender_paper_lego/"
            "blender_paper_lego_spiral_095000_rgb.mp4")
+# The reference also commits a ship spiral (Ship Results/, 20k steps —
+# earlier in training, visibly blurrier: secondary evidence only).
+REF_SHIP_MP4 = "/root/reference/Ship Results/ship_spiral_020000_rgb.mp4"
 CANONICAL_CAMERA_ANGLE_X = 0.6911112070083618  # published nerf_synthetic
 
 
@@ -119,11 +122,15 @@ def make_ref_lego_dataset(out: str, mp4_path: str = REF_MP4,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mp4", default=REF_MP4)
+    ap.add_argument("--mp4", default=None,
+                    help="explicit source mp4 (overrides --scene)")
+    ap.add_argument("--scene", default="lego", choices=["lego", "ship"],
+                    help="which committed reference render to derive from")
     ap.add_argument("--camera_angle_x", type=float,
                     default=CANONICAL_CAMERA_ANGLE_X)
     args = ap.parse_args(argv)
-    info = make_ref_lego_dataset(args.out, args.mp4, args.camera_angle_x)
+    mp4 = args.mp4 or {"lego": REF_MP4, "ship": REF_SHIP_MP4}[args.scene]
+    info = make_ref_lego_dataset(args.out, mp4, args.camera_angle_x)
     print(json.dumps(info))
     print(f"train it with:\n  cvnerf-train --data_dir {args.out} "
           "--dtype blender --white_bkg --testskip 1 "

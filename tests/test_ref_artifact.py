@@ -11,7 +11,8 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from ref_artifact_dataset import REF_MP4, make_ref_lego_dataset  # noqa: E402
+from ref_artifact_dataset import (REF_MP4, REF_SHIP_MP4,  # noqa: E402
+                                  make_ref_lego_dataset)
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(REF_MP4),
@@ -46,6 +47,18 @@ def test_ref_lego_dataset_builds_and_loads(tmp_path):
     for k in range(imgs.shape[0]):
         dists = np.abs(expected[:, :3, :4] - poses[k, :3, :4]).max((1, 2))
         assert dists.min() < 1e-5
+
+
+def test_ref_ship_dataset_builds(tmp_path):
+    if not os.path.exists(REF_SHIP_MP4):
+        pytest.skip("ship artifact not present")
+    out = str(tmp_path / "ref_ship")
+    info = make_ref_lego_dataset(out, mp4_path=REF_SHIP_MP4)
+    assert info["n_frames"] == 40 and info["train"] == 32
+
+    from cvnerf_tpu.data import load_blender_data
+    imgs, *_ = load_blender_data(out, half_res=True, testskip=1, bkg=True)
+    assert imgs.shape == (40, 200, 200, 3)
 
 
 def test_ref_lego_multiview_consistency(tmp_path):
