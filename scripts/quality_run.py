@@ -286,8 +286,14 @@ def main():
                              "and inject defects individually")
         import subprocess
         failures = []
-        for scene in ("checker", "sphere_hi", "llff_plane", "llff_360",
-                      "ref_lego"):
+        from ref_artifact_dataset import REF_MP4, REF_SHIP_MP4
+        scenes = ["checker", "sphere_hi", "llff_plane", "llff_360"]
+        # The artifact-derived scenes need the reference checkout present.
+        if os.path.exists(REF_MP4):
+            scenes.append("ref_lego")
+        if os.path.exists(REF_SHIP_MP4):
+            scenes.append("ref_ship")
+        for scene in scenes:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--scene", scene, "--iters", str(args.iters)]
             print(f"=== {scene} ({args.iters} iters) ===", flush=True)
