@@ -257,6 +257,9 @@ def generate(scene: str, out: str, **overrides) -> None:
     ``overrides`` replace the scene's default generator kwargs (see
     ``_SCENES``); unknown keys raise TypeError from the generator.
     """
+    if scene not in _SCENES:
+        raise ValueError(f"unknown scene {scene!r}; "
+                         f"choose from {sorted(_SCENES)}")
     spec = _SCENES[scene]
     kwargs = {**spec["gen"], **overrides}
     if spec["kind"] == "blender":

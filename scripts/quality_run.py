@@ -56,23 +56,30 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "tests"))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 BANDS = os.path.join(REPO, "results", "psnr_bands.json")
 
 
+# quality_run scene name -> cvnerf-demo-data scene name. The generator
+# kwargs AND trainer flags live in ONE place (data/synthetic._SCENES), so a
+# demo-data user trains on byte-identical data and flags to the pinned
+# bands (a previous copy here had started to drift).
+_SYNTHETIC = {"checker": "checker", "sphere_hi": "sphere",
+              "llff_plane": "llff_plane", "llff_360": "llff_360"}
+
+
 def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
     """Build the dataset; return (data_dir, extra CLI flags, band info)."""
-    from cvnerf_tpu.data.synthetic import (make_blender_dataset,
-                                            make_llff_dataset)
+    from cvnerf_tpu.data.synthetic import _SCENES, generate
+
+    if scene in _SYNTHETIC:
+        data_dir = os.path.join(workdir, scene)
+        spec = _SCENES[_SYNTHETIC[scene]]
+        generate(_SYNTHETIC[scene], data_dir)
+        flags = spec["train_flags"].split()
 
     if scene == "checker":
-        data_dir = os.path.join(workdir, "checker")
-        make_blender_dataset(data_dir, n_train=10, n_val=2, n_test=4,
-                             h=100, w=100, texture="checker")
-        flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
-                 "--precrop_iters", "500", "--precrop_frac", "0.5"]
         info = {"scene": "checker-textured sphere, 10 train views, 100x100, "
                          "seeded fixture (data.synthetic)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
@@ -82,19 +89,11 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         # normal-shaded sphere, dense view coverage, 200x200. Defect-
         # sensitive by construction — measured headroom above the band is
         # model quality, not fixture aliasing.
-        data_dir = os.path.join(workdir, "sphere_hi")
-        make_blender_dataset(data_dir, n_train=40, n_val=2, n_test=4,
-                             h=200, w=200, texture="normals")
-        flags = ["--dtype", "blender", "--white_bkg", "--testskip", "1",
-                 "--precrop_iters", "500", "--precrop_frac", "0.5"]
         info = {"scene": "normals-shaded sphere (band-limited), 40 train "
                          "views, 200x200, seeded fixture (data.synthetic)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
     elif scene == "llff_360":
-        data_dir = os.path.join(workdir, "s360")
-        from cvnerf_tpu.data.synthetic import make_llff_360_dataset
-        make_llff_360_dataset(data_dir, n=30, h=100, w=100, focal=120.0)
         # The --spherify workload: 360-degree inward-facing capture, non-NDC
         # bounds (the reference parses spherify but ignores it, main.py:450).
         # noise 1.0 as in the fern config: without density noise a sparse
@@ -112,9 +111,6 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
         # --track_best partitions into a 3-view selector and a 3-view
         # test basis (a single-view selector proved biased: it picked a
         # late checkpoint 0.26 dB WORSE on the true test views).
-        flags = ["--dtype", "llff", "--factor", "1", "--llffhold", "5",
-                 "--spherify", "--no_ndc", "--noise", "1.0",
-                 "--noise_decay", "25000", "--track_best"]
         info = {"scene": "360-degree inward rings of 30 cameras around a "
                          "checker sphere (3 elevations), 100x100 LLFF, spherified, "
                          "24 train / 3 val / 3 test views "
@@ -163,12 +159,8 @@ def _make_scene(scene: str, workdir: str) -> tuple[str, list[str], dict]:
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, precrop "
                           "500/0.5, lr 5e-4/decay 500, seed 0"}
     elif scene == "llff_plane":
-        data_dir = os.path.join(workdir, "plane")
-        make_llff_dataset(data_dir, n=12, h=96, w=128, focal=120.0)
         # The fern config's shape (configs/fern.txt): LLFF ingest, NDC on,
         # density noise 1.0, every-8th holdout.
-        flags = ["--dtype", "llff", "--factor", "1", "--llffhold", "8",
-                 "--noise", "1.0"]
         info = {"scene": "sinusoid-textured forward-facing plane, 12 views, "
                          "96x128 LLFF/NDC, seeded fixture (data.synthetic)",
                 "config": "1024 rays, 64+128 samples, bf16+Pallas, NDC, "
@@ -293,6 +285,21 @@ def main():
             scenes.append("ref_lego")
         if os.path.exists(REF_SHIP_MP4):
             scenes.append("ref_ship")
+        # A scene with no pinned band at this horizon would "pass"
+        # vacuously (the child prints NO BAND and exits 0) after a full —
+        # possibly hours-long — training run. Skip those loudly instead:
+        # the sweep's contract is "every listed band holds".
+        bands = json.load(open(BANDS)) if os.path.exists(BANDS) else {}
+        pinned = []
+        for scene in scenes:
+            key = ("checker_sphere" if scene == "checker"
+                   else scene) + f"_{args.iters}"
+            if key in bands:
+                pinned.append(scene)
+            else:
+                print(f"skipping {scene}: no pinned band {key!r} "
+                      "(pin it with --pin first)")
+        scenes = pinned
         for scene in scenes:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--scene", scene, "--iters", str(args.iters)]
