@@ -1,0 +1,82 @@
+#!/bin/bash
+# Run every pending on-chip measurement, in priority order, as soon as the
+# axon TPU tunnel is reachable — and survive it dropping mid-sequence.
+#
+# The tunnel has multi-hour outages (CLAUDE.md), so chip evidence is
+# gathered opportunistically: this script probes with a trivial matmul,
+# waits while the tunnel is down, refuses to start while the CPU test
+# suite is hammering the host (dispatch starvation skews TPU timings up
+# to ~26x), and marks each item done in /tmp/onchip so re-runs are
+# idempotent.
+#
+# Items (see ROADMAP.md round-3 pendings):
+#   1. ref_lego 3k band pin        (real-content evidence, VERDICT r2 missing #1)
+#   2. ref_ship 3k band pin
+#   3. occ_train A/B               (speed side of the --occ_train pin)
+#   4. sphere_hi 3k --occ_train    (quality side: must PASS the pinned band)
+#   5. sphere_hi 3k --ray_batching (quality neutrality of cross-image batching)
+#   6. ref_lego 50k band pin       (the long-horizon real-content band)
+#   7. bench.py HEAD sanity
+
+set -u
+REPO=/root/repo
+MARK=/tmp/onchip
+LOGD=/tmp/onchip/logs
+mkdir -p "$MARK" "$LOGD"
+
+probe() {
+  timeout 180 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((256,256)) @ jnp.ones((256,256))
+assert float(np.asarray(x.ravel()[0])) == 256.0
+" >/dev/null 2>&1
+}
+
+wait_for_tunnel() {
+  until probe; do
+    echo "$(date -u +%FT%TZ) tunnel down; sleeping 600" >> "$LOGD/orchestrator.log"
+    sleep 600
+  done
+}
+
+wait_for_quiet_host() {
+  # Never bench the TPU while the CPU suite (or other heavy load) runs.
+  while [ -f /tmp/suite.pid ] && kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; do
+    echo "$(date -u +%FT%TZ) CPU suite running; sleeping 120" >> "$LOGD/orchestrator.log"
+    sleep 120
+  done
+}
+
+run_item() {
+  local name=$1 tmo=$2; shift 2
+  [ -f "$MARK/$name.done" ] && return 0
+  local attempt
+  for attempt in 1 2 3; do
+    wait_for_quiet_host
+    wait_for_tunnel
+    echo "$(date -u +%FT%TZ) START $name (attempt $attempt)" >> "$LOGD/orchestrator.log"
+    if timeout "$tmo" "$@" > "$LOGD/$name.log" 2>&1; then
+      touch "$MARK/$name.done"
+      echo "$(date -u +%FT%TZ) DONE $name" >> "$LOGD/orchestrator.log"
+      return 0
+    fi
+    echo "$(date -u +%FT%TZ) FAIL $name rc=$? (attempt $attempt)" >> "$LOGD/orchestrator.log"
+    # If the tunnel died mid-run, the next wait_for_tunnel blocks until it
+    # is back; if the tunnel is fine, this was a real failure — retry once
+    # more in case of a transient, then give up and move on.
+  done
+  touch "$MARK/$name.failed"
+  return 1
+}
+
+cd "$REPO"
+
+run_item ref_lego_3k   3600 python scripts/quality_run.py --scene ref_lego --iters 3000 --pin --keep_artifacts
+run_item ref_ship_3k   3600 python scripts/quality_run.py --scene ref_ship --iters 3000 --pin --keep_artifacts
+run_item occ_train_ab  3600 python scripts/occ_train_ab.py
+run_item sphere_hi_occ 3600 python scripts/quality_run.py --scene sphere_hi --iters 3000 --extra --occ_train
+run_item sphere_hi_rb  3600 python scripts/quality_run.py --scene sphere_hi --iters 3000 --extra --ray_batching
+run_item ref_lego_50k  7200 python scripts/quality_run.py --scene ref_lego --iters 50000 --pin --keep_artifacts
+run_item bench_head    3600 python bench.py
+
+echo "$(date -u +%FT%TZ) ALL ITEMS PROCESSED" >> "$LOGD/orchestrator.log"
