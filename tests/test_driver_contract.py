@@ -47,6 +47,25 @@ def test_graft_entry_main():
     assert "entry: compiled" in r.stdout
 
 
+def test_ici_scaling_bench_smoke():
+    """The multi-chip scaling harness (scripts/ici_scaling_bench.py) runs
+    its full measurement loop — per-mesh-size trainers, sharded renders,
+    interleaved windows — on the self-provisioned virtual CPU mesh."""
+    r = _run(["scripts/ici_scaling_bench.py", "--smoke"])
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-4000:]}"
+    lines = [ln for ln in r.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    summary = json.loads(lines[-1])
+    assert summary["summary"] == "ici_scaling"
+    assert summary["mesh_sizes"] == [1, 2, 4, 8]
+    rows = [json.loads(ln) for ln in lines[:-1]]
+    assert [row["mesh"] for row in rows] == [1, 2, 4, 8]
+    for row in rows:
+        assert row["train_rays_per_sec"] > 0
+        assert row["render_frame_ms"] > 0
+        assert row["weak_scaling_eff"] > 0
+
+
 def test_bench_smoke():
     r = _run(["bench.py", "--smoke"])
     assert r.returncode == 0, f"stderr:\n{r.stderr[-4000:]}"
