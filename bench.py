@@ -76,13 +76,9 @@ def bench(train_steps: int = 200, warmup: int = 20,
         dtype = jnp.float32
 
     # Synthetic lego-shaped dataset (the real capture is not bundled; the
-    # compute is shape-identical).
-    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    img = np.stack([xx / W, yy / H, ((xx + yy) % 40) / 40.0],
-                   -1).astype(np.float32)
-    images = np.stack([img, img[::-1].copy()], 0)
-    poses = np.stack([np.eye(4, dtype=np.float32)[:3]] * 2)
-    poses[:, 2, 3] = 4.0
+    # compute is shape-identical). Shared with scripts/ici_scaling_bench.py.
+    from cvnerf_tpu.data.synthetic import bench_scene
+    images, poses = bench_scene(H, W)
 
     rcfg = RenderConfig(n_coarse=n_coarse, n_fine=n_fine, perturb=True,
                         noise_std=0.0, white_bkg=True,

@@ -113,6 +113,24 @@ def make_blender_dataset(basedir: str, n_train: int = 6, n_val: int = 2,
                       fp)
 
 
+def bench_scene(h, w):
+    """The benchmark harnesses' 2-image synthetic scene (bench.py and
+    scripts/ici_scaling_bench.py share it so their "compute is
+    shape-identical to the lego workload" claim stays in lockstep).
+
+    Returns ``(images [2,h,w,3] float32, poses [2,3,4] float32)`` — a
+    gradient+stripe texture, its vertical flip, and two identity-rotation
+    cameras at z=4 (the blender-scene camera distance).
+    """
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack([xx / w, yy / h, ((xx + yy) % 40) / 40.0],
+                   -1).astype(np.float32)
+    images = np.stack([img, img[::-1].copy()], 0)
+    poses = np.stack([np.eye(4, dtype=np.float32)[:3]] * 2)
+    poses[:, 2, 3] = 4.0
+    return images, poses
+
+
 def render_plane_scene(h, w, focal, c2w, plane_z=-2.0):
     """Analytic render: a textured plane at world z=plane_z (forward-facing).
 

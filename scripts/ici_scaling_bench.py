@@ -77,17 +77,28 @@ def main(argv=None) -> int:
         args.windows = 1
         args.hw = 24
         args.samples = "6,6"
-    if args.cpu:
-        # Env var must precede backend init; the site customization pins
-        # jax_platforms, so also override post-import (CLAUDE.md).
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count="
-                f"{args.cpu_devices}").strip()
+    # Every trainer below uses scan blocks of this length; steps and warmup
+    # must cover whole blocks or the scan program cold-compiles INSIDE a
+    # measurement window (4-12 min through the remote-compile tunnel).
+    spc = 5
+    if args.steps % spc:
+        args.steps = (args.steps // spc + 1) * spc
+        print(f"# --steps rounded up to {args.steps} (multiple of the "
+              f"steps_per_call={spc} scan block)", file=sys.stderr)
+    warmup = max(args.warmup, spc)
+    warmup = (warmup + spc - 1) // spc * spc
+
     import jax
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        # Post-import config updates are the only reliable path on this
+        # platform (the site customization overrides JAX_PLATFORMS/XLA_FLAGS
+        # env vars — CLAUDE.md); if a backend is already initialized in this
+        # process, fall through to whatever devices exist.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+        except RuntimeError:
+            pass
     else:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(__file__), "..",
@@ -95,6 +106,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
+    from cvnerf_tpu.data.synthetic import bench_scene
     from cvnerf_tpu.parallel.mesh import make_mesh
     from cvnerf_tpu.render.frames import render_image
     from cvnerf_tpu.render.renderer import RenderConfig
@@ -123,12 +135,7 @@ def main(argv=None) -> int:
     focal = H * 555.0 / 400.0
     dtype = jnp.float32 if args.cpu else jnp.bfloat16
 
-    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    img = np.stack([xx / W, yy / H, ((xx + yy) % 40) / 40.0],
-                   -1).astype(np.float32)
-    images = np.stack([img, img[::-1].copy()], 0)
-    poses = np.stack([np.eye(4, dtype=np.float32)[:3]] * 2)
-    poses[:, 2, 3] = 4.0
+    images, poses = bench_scene(H, W)
 
     rcfg = RenderConfig(n_coarse=n_coarse, n_fine=n_fine, perturb=True,
                         noise_std=0.0, white_bkg=True, compute_dtype=dtype)
@@ -150,24 +157,27 @@ def main(argv=None) -> int:
         state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
                                    lr_decay=cfg.lr_decay)
         tr = Trainer(cfg, state, images, poses, [0, 1], seed=0, mesh=mesh,
-                     steps_per_call=5)
+                     steps_per_call=spc)
         rcfg_test = rcfg.eval_mode()
         c2w = jnp.asarray(poses[0])
+        # The sharded chunker requires chunk % mesh size == 0.
+        chunk = max(n, min(4096, H * W) // n * n)
 
-        def do_render(t=tr, m=mesh, nn=n, rc=rcfg_test, c=c2w):
+        def do_render(t=tr, m=mesh, nn=n, rc=rcfg_test, c=c2w, ch=chunk):
             out = render_image(jax.random.PRNGKey(1), t.state.params, H, W,
-                               focal, c, 2.0, 6.0, rc,
-                               chunk=min(4096, H * W),
+                               focal, c, 2.0, 6.0, rc, chunk=ch,
                                mesh=m if nn > 1 else None)
-            np.asarray(out["rgb"]).ravel()[0]
+            # Device-side scalar pull: never np.asarray the whole frame
+            # inside a timed window (CLAUDE.md benchmarking rule).
+            np.asarray(out["rgb"].ravel()[0])
 
         arms[n] = {"trainer": tr, "render": do_render, "cursor": 1}
 
     for n, arm in arms.items():
         t0 = time.perf_counter()
-        arm["trainer"].run(1, args.warmup + 1)
+        arm["trainer"].run(1, warmup + 1)   # whole scan blocks only
         sync(arm["trainer"])
-        arm["cursor"] = args.warmup + 1
+        arm["cursor"] = warmup + 1
         arm["render"]()
         print(f"# mesh={n}: compiled+warm in {time.perf_counter()-t0:.1f}s",
               file=sys.stderr, flush=True)
@@ -187,26 +197,24 @@ def main(argv=None) -> int:
             arm["render"]()
             render_times[n].append(time.perf_counter() - t0)
 
+    # Ratios come from the raw medians; rounding is display-only.
+    raw_rays = {n: args.steps * args.per_chip_rays * n / median(train_times[n])
+                for n in sizes}
+    raw_frame = {n: median(render_times[n]) for n in sizes}
+    base_n = sizes[0]
     rows = {}
     for n in sizes:
-        dt = median(train_times[n])
-        rays_s = args.steps * args.per_chip_rays * n / dt
         rows[n] = {
             "mesh": n,
-            "train_rays_per_sec": round(rays_s),
-            "train_step_ms": round(dt / args.steps * 1e3, 3),
-            "render_frame_ms": round(median(render_times[n]) * 1e3, 1),
+            "train_rays_per_sec": round(raw_rays[n]),
+            "train_step_ms": round(
+                median(train_times[n]) / args.steps * 1e3, 3),
+            "render_frame_ms": round(raw_frame[n] * 1e3, 1),
+            "weak_scaling_eff": round(
+                (raw_rays[n] / n) / (raw_rays[base_n] / base_n), 4),
+            "render_speedup": round(raw_frame[base_n] / raw_frame[n], 3),
         }
-    base = rows[sizes[0]]
-    base_n = sizes[0]
-    for n in sizes:
-        r = rows[n]
-        r["weak_scaling_eff"] = round(
-            (r["train_rays_per_sec"] / n)
-            / (base["train_rays_per_sec"] / base_n), 4)
-        r["render_speedup"] = round(
-            base["render_frame_ms"] / r["render_frame_ms"], 3)
-        print(json.dumps(r), flush=True)
+        print(json.dumps(rows[n]), flush=True)
     print(json.dumps({
         "summary": "ici_scaling",
         "platform": jax.devices()[0].platform,
