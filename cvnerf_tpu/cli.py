@@ -155,6 +155,19 @@ def main(argv=None):
             backup_stale_ckpts("--ft_path behind existing checkpoints")
     elif not args.no_reload:
         restored = restore_checkpoint(ckpt_dir, state)
+        # Crash-recovery fallback: with a sparse --ckpt_freq a run can die
+        # before its first periodic save while --track_best has already
+        # checkpointed a full TrainState at a validation step. Resume from
+        # whichever checkpoint is newest rather than restarting from zero.
+        best_step = latest_step(ckpt_dir + "_best")
+        if best_step is not None and best_step > (
+                int(restored.step) if restored is not None else -1):
+            best_restored = restore_checkpoint(ckpt_dir + "_best", state,
+                                               step=best_step)
+            if best_restored is not None:
+                restored = best_restored
+                print(f"Periodic checkpoints are behind the best-val "
+                      f"checkpoint (step {best_step}) — resuming from best")
         if restored is not None:
             state, start = restored, int(restored.step)
             print(f"Resumed from checkpoint at step {start}")

@@ -308,6 +308,36 @@ def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path):
     assert "best_val_psnr" in best[-1] and "test_ssim_best" in best[-1]
 
 
+def test_resume_falls_back_to_best_checkpoint(blender_dir, tmp_path, capsys):
+    """Crash recovery: a run killed before its first periodic save (sparse
+    --ckpt_freq) leaves only the --track_best checkpoint behind; auto-resume
+    must restore that full TrainState instead of restarting from step 0."""
+    import shutil
+
+    import main as cli
+    logdir = str(tmp_path / "logs_bestfb")
+    base = ["--data_dir", blender_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "fb", *TINY_FLAGS,
+            "--val_freq", "5", "--track_best"]
+    cli.main([*base, "--iters", "11", "--ckpt_freq", "5"])
+    run_dir = os.path.join(logdir, "fb")
+
+    # Simulate the crash state: periodic checkpoints never landed, but a
+    # best-val checkpoint (and best.json) did.
+    shutil.rmtree(os.path.join(run_dir, "checkpoints"))
+    best_step = json.load(open(os.path.join(run_dir, "best.json")))["step"]
+    assert best_step >= 5
+    capsys.readouterr()
+
+    cli.main([*base, "--iters", "16", "--ckpt_freq", "0"])
+    out = capsys.readouterr().out
+    assert "resuming from best" in out
+    assert f"Resumed from checkpoint at step {best_step}" in out
+    recs = [json.loads(l)
+            for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert max(r["step"] for r in recs if "loss" in r) == 15
+
+
 def test_track_best_survives_resume_and_no_reload(blender_dir, tmp_path):
     """(a) A resumed run keeps comparing against the persisted all-time
     best (best.json) instead of re-crowning its first val; (b) --no_reload
