@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["test", "val", "train"])
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
+    p.add_argument("--which", default="auto",
+                   choices=["auto", "best", "last"],
+                   help="which model to score — auto (default) picks the "
+                        "best-validation checkpoint when the run tracked "
+                        "one (--track_best), else the last periodic one")
     p.add_argument("--chunk", type=int, default=4096)
     p.add_argument("--max_views", type=int, default=0,
                    help="score at most N views (0 = all)")
@@ -107,7 +112,7 @@ def main(argv=None) -> None:
         idx = idx[:args.max_views]
 
     r = NerfRenderer.from_run_dir(args.run, chunk=args.chunk,
-                                  step=args.step)
+                                  step=args.step, which=args.which)
     if (r.height, r.width) != (scene.height, scene.width):
         sys.exit(
             f"geometry mismatch: the run was trained at {r.height}x"
@@ -146,6 +151,7 @@ def main(argv=None) -> None:
     report = {
         "run": os.path.abspath(args.run),
         "step": int(r.step),
+        "which": args.which,
         "split": args.split,
         "n_views": len(per_view),
         "psnr": round(float(np.mean([v["psnr"] for v in per_view])), 4),

@@ -157,13 +157,24 @@ class NerfRenderer:
                      seed: int = 0,
                      step: int | None = None,
                      deterministic: bool = True,
-                     use_mesh: bool = True) -> "NerfRenderer":
+                     use_mesh: bool = True,
+                     which: str = "auto") -> "NerfRenderer":
         """Load a renderer from a training run directory.
 
         Reads the ``scene.json`` snapshot the trainer writes (geometry,
         NDC mode, architecture, sample counts, compute dtype) and the
         run's ``checkpoints/`` — zero hand-typed geometry, so serving
         can't silently diverge from what the checkpoint was trained on.
+
+        ``which`` selects the model: ``"auto"`` (default) serves the
+        best-validation checkpoint when the run tracked one
+        (``--track_best``) and the last periodic checkpoint otherwise —
+        on sparse captures validation quality peaks mid-run, so the
+        deployable model is the best-val checkpoint, not the last step
+        (the spherify long-horizon finding, ROADMAP round 3). ``"best"``
+        requires the best-val checkpoint; ``"last"`` forces the periodic
+        one. An explicit ``step`` under ``"auto"`` refers to the periodic
+        directory (training steps users know about).
         """
         path = os.path.join(run_dir, SCENE_SNAPSHOT)
         try:
@@ -181,7 +192,19 @@ class NerfRenderer:
             compute_dtype=jnp.bfloat16 if geo.get("bf16") else jnp.float32,
             sorted_resample=geo.get("sorted_resample", True),
             pallas=geo.get("pallas", "auto"))
-        r = cls(os.path.join(run_dir, "checkpoints"),
+        if which not in ("auto", "best", "last"):
+            raise ValueError(f"which must be auto|best|last, got {which!r}")
+        ckpt = os.path.join(run_dir, "checkpoints")
+        if which != "last":
+            from cvnerf_tpu.train.checkpoint import latest_step
+            has_best = latest_step(ckpt + "_best") is not None
+            if which == "best" and not has_best:
+                raise FileNotFoundError(
+                    f"no best-val checkpoint in {run_dir} — train with "
+                    "--track_best, or load which='last'")
+            if has_best and (which == "best" or step is None):
+                ckpt += "_best"
+        r = cls(ckpt,
                 height=geo["height"], width=geo["width"],
                 focal=geo["focal"], near=geo["near"], far=geo["far"],
                 ndc=geo["ndc"], ndc_variant=geo["ndc_variant"],

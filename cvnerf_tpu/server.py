@@ -280,6 +280,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(and none accepted; the snapshot is authoritative)")
     p.add_argument("--ckpt", default=None, help="checkpoint directory "
                    "(required without --run, along with the geometry flags)")
+    p.add_argument("--which", default="auto",
+                   choices=["auto", "best", "last"],
+                   help="with --run: which model to serve — auto (default) "
+                        "picks the best-validation checkpoint when the run "
+                        "tracked one (--track_best; the deployable model on "
+                        "sparse captures), else the last periodic one")
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--focal", type=float, default=None)
@@ -343,7 +349,8 @@ def renderer_from_args(args) -> NerfRenderer:
                 f"override would render garbage — edit <run>/scene.json "
                 f"instead)")
         return NerfRenderer.from_run_dir(
-            args.run, chunk=args.chunk, deterministic=not args.stochastic)
+            args.run, chunk=args.chunk, deterministic=not args.stochastic,
+            which=args.which)
     required = ("ckpt", "height", "width", "focal", "near", "far")
     missing = [f"--{k}" for k in required if getattr(args, k) is None]
     if missing:

@@ -307,6 +307,20 @@ def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path):
     assert best[-1]["best_step"] in (5, 10)
     assert "best_val_psnr" in best[-1] and "test_ssim_best" in best[-1]
 
+    # Serving a --track_best run defaults to the DEPLOYABLE model: the
+    # best-validation checkpoint, not the last step (which="auto").
+    from cvnerf_tpu.serve import NerfRenderer
+    r_auto = NerfRenderer.from_run_dir(run_dir, chunk=128, use_mesh=False)
+    assert r_auto.step == best[-1]["best_step"]
+    r_best = NerfRenderer.from_run_dir(run_dir, chunk=128, use_mesh=False,
+                                       which="best")
+    assert r_best.step == r_auto.step
+    r_last = NerfRenderer.from_run_dir(run_dir, chunk=128, use_mesh=False,
+                                       which="last")
+    assert r_last.step == 10  # final save of the 11-iter run
+    with pytest.raises(ValueError):
+        NerfRenderer.from_run_dir(run_dir, which="latest")
+
 
 def test_resume_falls_back_to_best_checkpoint(blender_dir, tmp_path, capsys):
     """Crash recovery: a run killed before its first periodic save (sparse
