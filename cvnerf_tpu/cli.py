@@ -289,6 +289,18 @@ def main(argv=None):
     # --- render-only mode (the reference parses this flag but ignores it,
     # main.py:436; honored here) ---
     if args.render_only:
+        if args.track_best:
+            # The deployable model of a --track_best run is the best-val
+            # checkpoint (spherify long-horizon finding) — render that,
+            # like serve/eval/mesh do; --no-track_best restores the
+            # reference behavior (latest checkpoint).
+            best_restored = restore_checkpoint(ckpt_dir + "_best", state)
+            if best_restored is not None and \
+                    int(best_restored.step) != int(state.step):
+                state, start = best_restored, int(best_restored.step)
+                print(f"--render_only on a --track_best run: rendering "
+                      f"the best-val model (step {start}); pass "
+                      f"--no-track_best for the last checkpoint")
         params = state.params
         if n_dev > 1:
             from cvnerf_tpu.parallel.mesh import replicated_sharding

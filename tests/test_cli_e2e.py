@@ -288,7 +288,7 @@ def test_train_then_serve_from_run_dir(blender_dir, tmp_path):
         srv.shutdown()
 
 
-def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path):
+def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path, capsys):
     """--track_best keeps a best-validation checkpoint and reports test
     metrics at it (model selection for runs whose val quality peaks
     mid-run — the spherify long-horizon finding, ROADMAP round 3)."""
@@ -320,6 +320,17 @@ def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path):
     assert r_last.step == 10  # final save of the 11-iter run
     with pytest.raises(ValueError):
         NerfRenderer.from_run_dir(run_dir, which="latest")
+
+    # --render_only follows the same rule: a --track_best run renders its
+    # best-val model (with an explicit note), not the last checkpoint.
+    capsys.readouterr()
+    cli.main(["--data_dir", blender_dir, "--base_dir", logdir,
+              "--save_dir", logdir, "--name", "tb", *TINY_FLAGS,
+              "--iters", "11", "--val_freq", "5", "--track_best",
+              "--render_only", "--render_factor", "4"])
+    out = capsys.readouterr().out
+    best_step = int(best[-1]["best_step"])
+    assert f"rendering the best-val model (step {best_step})" in out
 
 
 def test_resume_falls_back_to_best_checkpoint(blender_dir, tmp_path, capsys):
