@@ -126,15 +126,27 @@ def main(argv=None):
         # best-val checkpoint dir and its metadata move together with the
         # main dir: a stale checkpoints_best would likewise refuse
         # lower-step saves, and its score belongs to the backed-up run.
-        if not (os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)):
+        best_dir = ckpt_dir + "_best"
+        have_main = os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
+        # A crash before the first periodic save can leave ONLY the
+        # best-val checkpoint + best.json behind; those must move aside
+        # too, or the fresh run inherits the abandoned run's best score
+        # (its writer then refuses every lower-step save and the final
+        # test-at-best scores the abandoned run's weights).
+        have_best = ((os.path.isdir(best_dir) and os.listdir(best_dir))
+                     or os.path.exists(best_meta_path))
+        if not (have_main or have_best):
             return
-        base = f"{ckpt_dir}.bak-{latest_step(ckpt_dir)}"
+        step = latest_step(ckpt_dir if have_main else best_dir) or 0
+        base = f"{ckpt_dir}.bak-{step}"
         backup, k = base, 1
-        while os.path.exists(backup):   # repeated restarts at the same step
-            backup = f"{base}.{k}"
+        while any(os.path.exists(p) for p in
+                  (backup, backup + "_best", backup + ".best.json")):
+            backup = f"{base}.{k}"   # repeated restarts at the same step
             k += 1
-        os.rename(ckpt_dir, backup)
-        for extra, dst in ((ckpt_dir + "_best", backup + "_best"),
+        if have_main:
+            os.rename(ckpt_dir, backup)
+        for extra, dst in ((best_dir, backup + "_best"),
                            (best_meta_path, backup + ".best.json")):
             if os.path.exists(extra):
                 os.rename(extra, dst)
@@ -147,8 +159,10 @@ def main(argv=None):
             sys.exit(f"--ft_path {args.ft_path}: no checkpoint found")
         state, start = restored, int(restored.step)
         print(f"Restored fine-tune checkpoint at step {start}")
+        newest_here = max(latest_step(ckpt_dir) or -1,
+                          latest_step(ckpt_dir + "_best") or -1)
         if os.path.abspath(args.ft_path) != os.path.abspath(ckpt_dir) and \
-                (latest_step(ckpt_dir) or -1) > start:
+                newest_here > start:
             # The run dir holds checkpoints newer than the fine-tune start;
             # saving step start+k onto them would fail at the first
             # periodic save — catch it here instead of mid-run.
@@ -289,11 +303,13 @@ def main(argv=None):
     # --- render-only mode (the reference parses this flag but ignores it,
     # main.py:436; honored here) ---
     if args.render_only:
-        if args.track_best:
+        if args.track_best and not args.ft_path:
             # The deployable model of a --track_best run is the best-val
             # checkpoint (spherify long-horizon finding) — render that,
             # like serve/eval/mesh do; --no-track_best restores the
-            # reference behavior (latest checkpoint).
+            # reference behavior (latest checkpoint). An explicit
+            # --ft_path names the exact weights to render — never
+            # second-guess it.
             best_restored = restore_checkpoint(ckpt_dir + "_best", state)
             if best_restored is not None and \
                     int(best_restored.step) != int(state.step):

@@ -151,7 +151,10 @@ def main(argv=None) -> None:
     report = {
         "run": os.path.abspath(args.run),
         "step": int(r.step),
-        "which": args.which,
+        # The RESOLVED model ("best"/"last"), not the requested mode: an
+        # "auto" report would leave best-vs-last ambiguous to consumers.
+        "which": r.which,
+        "which_requested": args.which,
         "split": args.split,
         "n_views": len(per_view),
         "psnr": round(float(np.mean([v["psnr"] for v in per_view])), 4),

@@ -360,6 +360,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid points per device dispatch block")
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
+    p.add_argument("--which", default="auto",
+                   choices=["auto", "best", "last"],
+                   help="which model to mesh: 'auto' uses the best-val "
+                        "checkpoint when the run tracked one "
+                        "(--track_best), else the last periodic one")
     p.add_argument("--keep", default="all", choices=["all", "largest"],
                    help="'largest' drops floater components (small "
                         "density-noise shells), keeping the main surface")
@@ -371,7 +376,8 @@ def main(argv=None) -> int:
     # Reuse the serving loader: scene.json supplies the architecture, dtype
     # and NDC mode, checkpoints/ the weights — zero hand-typed geometry.
     from cvnerf_tpu.serve import NerfRenderer
-    r = NerfRenderer.from_run_dir(args.run, step=args.step, use_mesh=False)
+    r = NerfRenderer.from_run_dir(args.run, step=args.step, use_mesh=False,
+                                  which=args.which)
     if r.ndc:
         # NDC-trained models were only ever queried inside the unit frustum
         # box (ops/rays.py ndc_rays maps into x,y ∈ [-1,1], z ∈ [0,1]).

@@ -93,6 +93,11 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
 class NerfRenderer:
     """A checkpoint loaded for repeated novel-view rendering."""
 
+    # Which model a run-dir load resolved to: "best" (the best-val
+    # checkpoint) or "last" (the periodic one). Direct --ckpt construction
+    # always loads from the given dir, i.e. "last" semantics.
+    which: str = "last"
+
     def __init__(self, ckpt_dir: str, *,
                  height: int, width: int, focal: float,
                  near: float, far: float,
@@ -210,6 +215,9 @@ class NerfRenderer:
                 ndc=geo["ndc"], ndc_variant=geo["ndc_variant"],
                 cfg=cfg, chunk=chunk, seed=seed, step=step,
                 deterministic=deterministic, use_mesh=use_mesh)
+        # Record what "auto" resolved to so consumers (cvnerf-eval reports,
+        # serving logs) can state which model was actually loaded.
+        r.which = "best" if ckpt.endswith("_best") else "last"
         if geo.get("calib_poses"):
             r.calib_poses = np.asarray(geo["calib_poses"], np.float32)
         if geo.get("occ_train"):

@@ -280,7 +280,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(and none accepted; the snapshot is authoritative)")
     p.add_argument("--ckpt", default=None, help="checkpoint directory "
                    "(required without --run, along with the geometry flags)")
-    p.add_argument("--which", default="auto",
+    p.add_argument("--which", default=None,
                    choices=["auto", "best", "last"],
                    help="with --run: which model to serve — auto (default) "
                         "picks the best-validation checkpoint when the run "
@@ -350,12 +350,22 @@ def renderer_from_args(args) -> NerfRenderer:
                 f"instead)")
         return NerfRenderer.from_run_dir(
             args.run, chunk=args.chunk, deterministic=not args.stochastic,
-            which=args.which)
+            which=args.which or "auto")
     required = ("ckpt", "height", "width", "focal", "near", "far")
     missing = [f"--{k}" for k in required if getattr(args, k) is None]
     if missing:
         raise SystemExit(
             f"without --run, {' '.join(missing)} are required")
+    if args.which is not None:
+        # Same contract as the geometry-flag check above: best/last
+        # selection only exists for run dirs (the best-val checkpoint
+        # lives next to them); silently serving the --ckpt dir's latest
+        # step under an explicit --which best would deploy the wrong
+        # model without any error.
+        raise SystemExit(
+            "--which requires --run (a bare --ckpt dir has no best-val "
+            "checkpoint to select; point --ckpt at checkpoints_best/ "
+            "directly instead)")
     return NerfRenderer(args.ckpt, height=args.height, width=args.width,
                         focal=args.focal, near=args.near, far=args.far,
                         chunk=args.chunk, ndc=bool(args.ndc),

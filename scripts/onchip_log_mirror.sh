@@ -8,15 +8,20 @@
 # orchestrator reports ALL ITEMS PROCESSED (after one final sync).
 set -u
 SRC=/tmp/onchip/logs
-DST=/root/repo/results/onchip
+DST="$(cd "$(dirname "$0")/.." && pwd)/results/onchip"
 mkdir -p "$DST"
-while true; do
+
+sync_all() {
   [ -d "$SRC" ] && cp -u "$SRC"/*.log "$DST"/ 2>/dev/null
   for m in /tmp/onchip/*.done /tmp/onchip/*.failed; do
     [ -f "$m" ] && cp -u "$m" "$DST/$(basename "$m")" 2>/dev/null
   done
+}
+
+while true; do
+  sync_all
   if grep -q "ALL ITEMS PROCESSED" "$SRC/orchestrator.log" 2>/dev/null; then
-    cp -u "$SRC"/*.log "$DST"/ 2>/dev/null
+    sync_all   # logs AND markers written since this iteration's copy
     exit 0
   fi
   sleep 300

@@ -48,6 +48,10 @@ def test_eval_cli_scores_split(tmp_path, capsys):
     assert report["split"] == "test" and report["n_views"] == 2
     assert np.isfinite(report["psnr"]) and 0.0 <= report["ssim"] <= 1.0
     assert len(report["per_view"]) == 2
+    # The report records the RESOLVED model, not the requested mode: this
+    # run tracked no best checkpoint, so "auto" resolved to the last one.
+    assert report["which"] == "last"
+    assert report["which_requested"] == "auto"
 
     # Cross-check one view against a by-hand render through the renderer.
     from cvnerf_tpu.data import load_scene

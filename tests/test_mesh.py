@@ -208,7 +208,7 @@ def test_cli_end_to_end(tmp_path):
     iso = float(np.median(grid))
     out = str(tmp_path / "m.obj")
     rc = main(["--run", run_dir, "--res", "16", "--iso", str(iso),
-               "--out", out])
+               "--out", out, "--which", "last"])
     assert rc == 0 and os.path.exists(out)
     n_v = sum(1 for ln in open(out) if ln.startswith("v "))
     n_f = sum(1 for ln in open(out) if ln.startswith("f "))

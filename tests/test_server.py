@@ -338,6 +338,18 @@ def test_cli_without_run_requires_geometry():
         renderer_from_args(args)
 
 
+def test_cli_which_requires_run():
+    """--which best with a bare --ckpt dir would silently serve the latest
+    periodic step while the user believes they deployed the best-val model;
+    the CLI refuses the combination (same contract as geometry overrides)."""
+    from cvnerf_tpu.server import build_parser, renderer_from_args
+    args = build_parser().parse_args(
+        ["--ckpt", "x", "--height", "4", "--width", "4", "--focal", "2",
+         "--near", "0.1", "--far", "1.0", "--which", "best"])
+    with pytest.raises(SystemExit, match="--which requires --run"):
+        renderer_from_args(args)
+
+
 def test_render_video_returns_mp4(server_url):
     cv2 = pytest.importorskip("cv2")
     poses = [POSE, [[1.0, 0, 0, 0.1], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]]]
