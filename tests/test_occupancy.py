@@ -49,6 +49,22 @@ def test_dilation_is_conservative(tiny_params):
     assert (np.asarray(g1.values) >= np.asarray(g0.values) - 1e-6).all()
 
 
+def test_dilation_matches_scipy_max_filter(tiny_params):
+    """The on-device reduce_window dilation == scipy maximum_filter
+    mode='nearest' of the undilated bake (incl. non-cubic lattices and
+    radius 2) — the exact semantics the host-side implementation had."""
+    from scipy.ndimage import maximum_filter
+    for res, dilate in (((5, 6, 7), 1), (9, 2)):
+        g0 = bake_occupancy(tiny_params["fine"], TINY, (-1.0,) * 3,
+                            (1.0,) * 3, resolution=res, dilate=0)
+        gd = bake_occupancy(tiny_params["fine"], TINY, (-1.0,) * 3,
+                            (1.0,) * 3, resolution=res, dilate=dilate)
+        want = maximum_filter(np.asarray(g0.values),
+                              size=2 * dilate + 1, mode="nearest")
+        np.testing.assert_allclose(np.asarray(gd.values), want,
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_probe_nearest_vertex_and_clamping():
     vals = np.arange(3 * 4 * 5, dtype=np.float32).reshape(3, 4, 5)
     grid = OccupancyGrid(
