@@ -325,7 +325,7 @@ def main():
         "--n_fine_samples", "128", "--lr", "5e-4", "--lr_decay", "500",
         "--no-bf16" if args.fp32 else "--bf16",
         "--ndc_variant", args.ndc_variant, *scene_flags,
-        *defect_flags, *args.extra,
+        *defect_flags,
         "--iters", str(args.iters),
         "--vid_freq", str(args.vid_freq),
         "--ckpt_freq", str(args.iters // 4 if args.vid_freq else 0),
@@ -337,6 +337,10 @@ def main():
         "--val_freq", ("300" if args.scene == "llff_360"
                        else str(max(args.iters // 10, 1))),
         "--print_freq", "500", "--seed", "0",
+        # LAST so --extra overrides ANY of the above (argparse last-wins);
+        # an --extra flag silently losing to a script default cost a
+        # wasted 10-minute chip run once.
+        *args.extra,
     ])
 
     metrics_path = os.path.join(workdir, "logs", run_name, "metrics.jsonl")
