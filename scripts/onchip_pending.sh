@@ -2,6 +2,13 @@
 # Run every pending on-chip measurement, in priority order, as soon as the
 # axon TPU tunnel is reachable — and survive it dropping mid-sequence.
 #
+# STATUS 2026-08-18 (round 3, session 5): ALL seven items below completed
+# on the real chip (results transcribed into results/psnr_bands.json,
+# BASELINE.md, ROADMAP.md; raw logs in results/onchip/). Re-running is
+# harmless — every item is a band re-validation — but /tmp markers are
+# wiped on machine restarts, so a blind re-launch redoes ~40 min of chip
+# work. Update the item list before reusing for a new measurement queue.
+#
 # The tunnel has multi-hour outages (CLAUDE.md), so chip evidence is
 # gathered opportunistically: this script probes with a trivial matmul,
 # waits while the tunnel is down, refuses to start while the CPU test
