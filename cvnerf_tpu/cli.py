@@ -93,7 +93,7 @@ def main(argv=None):
         white_bkg=args.white_bkg, mlp=mlp,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas=args.pallas, sorted_resample=args.sorted_resample,
-        occupancy_mode="full" if args.occ_train else "merge")
+        occupancy_mode=args.occ_train_mode if args.occ_train else "merge")
     rcfg_test = rcfg_train.eval_mode()
     if args.deterministic_resample:
         import dataclasses
@@ -112,7 +112,7 @@ def main(argv=None):
         bf16=args.bf16, mlp=mlp, sorted_resample=args.sorted_resample,
         pallas=args.pallas, calib_poses=scene.poses,
         occ_train=args.occ_train, occ_res=args.occupancy_res,
-        occ_bound=args.occupancy_bound)
+        occ_bound=args.occupancy_bound, occ_mode=args.occ_train_mode)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
@@ -325,7 +325,7 @@ def main(argv=None):
         if args.occ_train and not args.occupancy:
             # An --occ_train run's checkpoints carry an untrained coarse
             # net — render them the way they were trained.
-            args.occupancy = "full"
+            args.occupancy = args.occ_train_mode
         if args.occupancy:
             import dataclasses
             from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,

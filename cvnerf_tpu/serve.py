@@ -51,7 +51,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          calib_poses=None,
                          occ_train: bool = False,
                          occ_res: int = 192,
-                         occ_bound: float = 1.5) -> str:
+                         occ_bound: float = 1.5,
+                         occ_mode: str = "full") -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -84,7 +85,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         # coarse net: any consumer must resample through a baked grid, so
         # record the bake parameters and let from_run_dir auto-enable it.
         payload["occ_train"] = {"resolution": int(occ_res),
-                                "bound": float(occ_bound)}
+                                "bound": float(occ_bound),
+                                "mode": occ_mode}
     with open(path, "w") as fp:
         json.dump(payload, fp, indent=2, sort_keys=True)
     return path
@@ -232,7 +234,8 @@ class NerfRenderer:
             # grid-less rendering instead of a no-support sampler.
             ot = geo["occ_train"]
             r.enable_occupancy(resolution=int(ot["resolution"]),
-                               bound=float(ot["bound"]), mode="full",
+                               bound=float(ot["bound"]),
+                               mode=ot.get("mode", "full"),
                                require_occupied=True)
         return r
 

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--n_rays", type=int, default=1024)
     ap.add_argument("--occ_res", type=int, default=192)
+    ap.add_argument("--mode", default="full", choices=["full", "merge"],
+                    help="--occ_train sampling mode to measure (full: "
+                         "n_fine MLP evals/ray; merge: n_coarse+n_fine "
+                         "evals, only the coarse MLP saved)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +64,7 @@ def main():
         render=RenderConfig(n_coarse=64, n_fine=128, perturb=True,
                             noise_std=0.0, white_bkg=True, mlp=mlp,
                             compute_dtype=jnp.bfloat16,
-                            occupancy_mode="full"))
+                            occupancy_mode=args.mode))
 
     def fresh_state():
         return create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,

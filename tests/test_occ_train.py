@@ -244,11 +244,15 @@ def test_empty_grid_guard():
     assert tr.maybe_set_occupancy(real) == "rebaked"
 
 
-def test_occ_train_cli_e2e(tmp_path):
+@pytest.mark.parametrize("mode", ["full", "merge"])
+def test_occ_train_cli_e2e(tmp_path, mode):
     """Train with --occ_train past the warmup switch, then serve from the
-    run dir: scene.json records the bake, from_run_dir auto-enables the
-    grid (the coarse net is untrained — rendering without it would be
-    wrong), and the render is finite and full-shape."""
+    run dir: scene.json records the bake (incl. the sampling mode),
+    from_run_dir auto-enables the grid in that mode (the coarse net is
+    untrained — rendering without it would be wrong), and the render is
+    finite and full-shape. 'merge' keeps the stratified probe depths
+    (reference-shaped coverage); 'full' draws all fine samples from the
+    probe CDF."""
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
     from fixtures import make_blender_dataset
@@ -276,17 +280,19 @@ def test_occ_train_cli_e2e(tmp_path):
               "--seed", "1",
               "--iters", "6", "--ckpt_freq", "4",
               "--occ_train", "--occ_train_warmup", "2",
-              "--occ_train_every", "3", "--occupancy_res", "8"])
+              "--occ_train_every", "3", "--occupancy_res", "8",
+              "--occ_train_mode", mode])
     run_dir = os.path.join(logdir, "occ")
 
     import json
     with open(os.path.join(run_dir, "scene.json")) as fp:
         geo = json.load(fp)
-    assert geo["occ_train"] == {"resolution": 8, "bound": 1.5}
+    assert geo["occ_train"] == {"resolution": 8, "bound": 1.5,
+                                "mode": mode}
 
     r = NerfRenderer.from_run_dir(run_dir, chunk=256)
     assert r.occupancy is not None
-    assert r.cfg.occupancy_mode == "full"
+    assert r.cfg.occupancy_mode == mode
     rgb = r.render_pose(np.asarray(geo["calib_poses"][0], np.float32))
     assert rgb.shape == (24, 24, 3)
     assert np.isfinite(rgb).all()
