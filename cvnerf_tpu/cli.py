@@ -80,9 +80,9 @@ def main(argv=None):
                         trunk_width=args.trunk_width,
                         head_width=args.head_width)
     if args.occ_train and args.n_fine_samples <= 0:
-        sys.exit("--occ_train requires n_fine_samples > 0 (full-mode "
-                 "occupancy sampling draws the fine samples from the grid "
-                 "probe CDF)")
+        sys.exit("--occ_train requires n_fine_samples > 0 (occupancy "
+                 "sampling resamples n_fine points from the grid probe "
+                 "CDF)")
     if args.occ_train and args.occ_train_every <= 0:
         sys.exit("--occ_train_every must be > 0: the switch to occupancy "
                  "training happens inside the rebake callback, so a "

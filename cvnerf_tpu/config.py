@@ -157,17 +157,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "field to bake from)")
     p.add_argument("--occ_train_every", type=int, default=1000,
                    help="rebake cadence (steps) during --occ_train")
-    p.add_argument("--occ_train_mode", default="full",
+    p.add_argument("--occ_train_mode", default="merge",
                    choices=["full", "merge"],
-                   help="--occ_train sampling mode. 'full': every fine "
-                        "sample comes from the probe CDF (n_fine MLP "
-                        "evals/ray — the biggest speedup, but it removes "
-                        "the stratified exploration depths; measured to "
-                        "cost several dB on complex scenes, BASELINE.md). "
-                        "'merge': keep the stratified probe depths and "
-                        "merge with the resample (n_coarse+n_fine evals — "
-                        "only the coarse MLP is saved, smaller speedup, "
-                        "reference-shaped sample coverage)")
+                   help="--occ_train sampling mode. 'merge' (default): "
+                        "keep the stratified probe depths and merge with "
+                        "the resample (n_coarse+n_fine evals — only the "
+                        "coarse MLP is saved; 1.27x measured, and "
+                        "quality-safe: +0.33 dB over the plain pipeline "
+                        "on real content at 50k). 'full': every fine "
+                        "sample comes from the probe CDF (n_fine evals — "
+                        "1.65x, but removing the stratified exploration "
+                        "depths costs several dB on complex scenes; "
+                        "BASELINE.md)")
     p.add_argument("--occupancy_res", type=int, default=192,
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,
