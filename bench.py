@@ -134,13 +134,6 @@ def bench(train_steps: int = 200, warmup: int = 20,
         # omits the occ keys.
         try:
             import dataclasses as _dc
-            rcfg_occ = _dc.replace(rcfg, occupancy_mode="full")
-            cfg_occ = _dc.replace(cfg, render=rcfg_occ)
-            state_occ = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
-                                           lr_decay=cfg.lr_decay)
-            trainers["occ"] = Trainer(cfg_occ, state_occ, images, poses,
-                                      [0, 1], seed=0, mesh=mesh,
-                                      steps_per_call=10)
             from cvnerf_tpu.render.occupancy import bake_scene_occupancy
 
             def bake_occ_grid(from_params):
@@ -148,36 +141,52 @@ def bench(train_steps: int = 200, warmup: int = 20,
                     from_params, rcfg.mlp, ndc=False, bound=6.0,
                     n_fine=n_fine, resolution=192, compute_dtype=dtype)
 
-            trainers["occ"].set_occupancy(bake_occ_grid(state_occ.params))
+            # "occ" = full mode (the speed ceiling: n_fine evals/ray);
+            # "occm" = merge mode (the --occ_train_mode DEFAULT: stratified
+            # probe depths kept, only the coarse MLP saved — the
+            # quality-safe configuration, BASELINE.md).
+            for arm, occ_mode in (("occ", "full"), ("occm", "merge")):
+                rcfg_occ = _dc.replace(rcfg, occupancy_mode=occ_mode)
+                cfg_occ = _dc.replace(cfg, render=rcfg_occ)
+                state_occ = create_train_state(
+                    jax.random.PRNGKey(0), lr=cfg.lr, lr_decay=cfg.lr_decay)
+                trainers[arm] = Trainer(cfg_occ, state_occ, images, poses,
+                                        [0, 1], seed=0, mesh=mesh,
+                                        steps_per_call=10)
+                trainers[arm].set_occupancy(bake_occ_grid(state_occ.params))
         except Exception as e:  # noqa: BLE001
             import sys as _sys
-            print(f"# occ arm disabled (setup failed): {e!r}",
+            print(f"# occ arms disabled (setup failed): {e!r}",
                   file=_sys.stderr, flush=True)
             trainers.pop("occ", None)
+            trainers.pop("occm", None)
 
     steps_for = {"on": train_steps, "off": max(train_steps // 2, 10),
-                 "occ": train_steps}
+                 "occ": train_steps, "occm": train_steps}
     cursors = {}
     for name, t in list(trainers.items()):     # compile + warm up ALL first
         try:
             t.run(1, warmup + 1)
             sync(t)
         except Exception as e:  # noqa: BLE001
-            if name != "occ":
+            if name not in ("occ", "occm"):
                 raise
             import sys as _sys
-            print(f"# occ arm disabled (warmup failed): {e!r}",
+            print(f"# {name} arm disabled (warmup failed): {e!r}",
                   file=_sys.stderr, flush=True)
             del trainers[name]
             continue
         cursors[name] = warmup + 1
-    if "occ" in trainers:
+    if "occ" in trainers or "occm" in trainers:
         # Measure with a realistic probe CDF: rebake from the "on" arm's
         # post-warmup params (same shapes as the compile-time grid). A
         # rebake failure keeps the compile-time grid — speed is
         # table-content-independent.
         try:
-            trainers["occ"].set_occupancy(bake_occ_grid(tr.state.params))
+            grid = bake_occ_grid(tr.state.params)
+            for arm in ("occ", "occm"):
+                if arm in trainers:
+                    trainers[arm].set_occupancy(grid)
         except Exception as e:  # noqa: BLE001
             import sys as _sys
             print(f"# occ rebake failed (keeping compile-time grid): {e!r}",
@@ -194,10 +203,10 @@ def bench(train_steps: int = 200, warmup: int = 20,
                 out = t.run(cursors[name], cursors[name] + s)
                 sync(t)
             except Exception as e:  # noqa: BLE001
-                if name != "occ":
+                if name not in ("occ", "occm"):
                     raise
                 import sys as _sys
-                print(f"# occ arm disabled (measurement failed): {e!r}",
+                print(f"# {name} arm disabled (measurement failed): {e!r}",
                       file=_sys.stderr, flush=True)
                 del trainers[name]
                 train_times.pop(name, None)
@@ -269,6 +278,12 @@ def bench(train_steps: int = 200, warmup: int = 20,
                 occ_train / n_chips, 1)
             result["occ_train_speedup"] = round(occ_train / train_rays_sec,
                                                 2)
+        if "occm" in train_times:
+            occm = (steps_for["occm"] * cfg.n_rays
+                    / median(train_times["occm"]))
+            result["train_rays_per_sec_occ_merge"] = round(occm / n_chips, 1)
+            result["occ_train_merge_speedup"] = round(occm / train_rays_sec,
+                                                      2)
 
         # Secondary: the reference's *default* batch (n_rays=4096,
         # main.py:422).
