@@ -82,7 +82,12 @@ def test_shipped_configs_parse():
         assert args.name
     fast = parse_args(["--config", os.path.join(repo, "configs",
                                                 "lego_fast.txt")])
-    assert fast.occ_train and fast.ray_batching and fast.track_best
+    # The recipe carries the measured-safe accelerations only:
+    # ray_batching was dropped on evidence (-1.2 to -1.9 dB on <=32-view
+    # scenes, BASELINE.md) and occ_train pins the quality-safe merge mode.
+    assert fast.occ_train and fast.track_best
+    assert fast.occ_train_mode == "merge"
+    assert not fast.ray_batching
 
 
 def test_cli_overrides_config_file(tmp_path):
