@@ -134,9 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["merge", "full"],
                    help="render_only acceleration: bake an occupancy grid "
                         "from the restored checkpoint and render the pose "
-                        "sequence through it (render.occupancy; 'full' "
-                        "measured 1.56x at -0.05 dB — BASELINE.md). "
-                        "Ignored during training (see --occ_train for the "
+                        "sequence through it (render.occupancy; 'merge' is "
+                        "quality-safe at 1.12-1.15x; 'full' 1.56-1.64x at "
+                        "a scene-dependent cost — BASELINE.md). Ignored "
+                        "during training (see --occ_train for the "
                         "training-time variant)")
     p.add_argument("--occ_train",
                    action=argparse.BooleanOptionalAction, default=False,

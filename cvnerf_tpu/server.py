@@ -300,9 +300,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["merge", "full"],
                    help="bake an occupancy grid at startup and serve "
                         "renders through it (render.occupancy): 'merge' "
-                        "drops the coarse MLP (+0.1 dB, 1.15x), 'full' "
-                        "also draws all fine samples from the grid CDF "
-                        "(1.56x at -0.05 dB measured; BASELINE.md)")
+                        "drops the coarse MLP (quality-safe: +0.05 to "
+                        "+0.1 dB, 1.12-1.15x), 'full' also draws all fine "
+                        "samples from the grid CDF (1.56-1.64x at a "
+                        "scene-dependent cost: -0.05 dB simple fixture, "
+                        "-0.31 dB real content — BASELINE.md)")
     p.add_argument("--occupancy_res", type=int, default=192,
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,
