@@ -139,12 +139,14 @@ def bench(train_steps: int = 200, warmup: int = 20,
             def bake_occ_grid(from_params):
                 return bake_scene_occupancy(
                     from_params, rcfg.mlp, ndc=False, bound=6.0,
-                    n_fine=n_fine, resolution=192, compute_dtype=dtype)
+                    n_fine=n_fine, resolution=192, compute_dtype=dtype,
+                    pallas=rcfg.pallas)
 
             # "occ" = full mode (the speed ceiling: n_fine evals/ray);
             # "occm" = merge mode (the --occ_train_mode DEFAULT: stratified
             # probe depths kept, only the coarse MLP saved — the
             # quality-safe configuration, BASELINE.md).
+            grid0 = None  # both arms init from PRNGKey(0): one bake serves both
             for arm, occ_mode in (("occ", "full"), ("occm", "merge")):
                 rcfg_occ = _dc.replace(rcfg, occupancy_mode=occ_mode)
                 cfg_occ = _dc.replace(cfg, render=rcfg_occ)
@@ -153,7 +155,9 @@ def bench(train_steps: int = 200, warmup: int = 20,
                 trainers[arm] = Trainer(cfg_occ, state_occ, images, poses,
                                         [0, 1], seed=0, mesh=mesh,
                                         steps_per_call=10)
-                trainers[arm].set_occupancy(bake_occ_grid(state_occ.params))
+                if grid0 is None:
+                    grid0 = bake_occ_grid(state_occ.params)
+                trainers[arm].set_occupancy(grid0)
         except Exception as e:  # noqa: BLE001
             import sys as _sys
             print(f"# occ arms disabled (setup failed): {e!r}",

@@ -12,6 +12,7 @@ the repo-root ``main.py`` shim keeps the reference-shaped invocation.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -72,6 +73,25 @@ def main(argv=None):
     save_dir = os.path.join(args.save_dir, args.name)
     os.makedirs(run_dir, exist_ok=True)
     os.makedirs(save_dir, exist_ok=True)
+    if args.occ_train_mode is None:
+        # Unset on the CLI/config: honor the mode this run dir was actually
+        # trained with before falling back to the shipped default — a
+        # checkpoint's sampling semantics must never flip because a later
+        # version changed the default. Legacy --occ_train runs predate the
+        # mode flag and were implicitly "full" (the same rule
+        # serve.NerfRenderer.from_run_dir applies).
+        recorded = None
+        try:
+            with open(os.path.join(run_dir, "scene.json")) as fp:
+                ot = json.load(fp).get("occ_train")
+            if ot:
+                recorded = ot.get("mode", "full")
+        except (OSError, ValueError):
+            pass
+        args.occ_train_mode = recorded or "merge"
+        if recorded and args.occ_train:
+            print(f"occ_train: using the run dir's recorded sampling mode "
+                  f"{recorded!r} (pass --occ_train_mode to override)")
     snapshot_config(args, run_dir)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
 
@@ -334,7 +354,7 @@ def main(argv=None):
                 state.params, mlp, ndc=scene.ndc,
                 bound=args.occupancy_bound, n_fine=args.n_fine_samples,
                 resolution=args.occupancy_res,
-                compute_dtype=rcfg_test.compute_dtype,
+                compute_dtype=rcfg_test.compute_dtype, pallas=args.pallas,
                 mesh=mesh if n_dev > 1 else None)
             if occupied_fraction(occ) <= 0.0:
                 # A grid with no support would give every ray the
@@ -407,7 +427,8 @@ def main(argv=None):
             return bake_scene_occupancy(
                 params, mlp, ndc=scene.ndc, bound=args.occupancy_bound,
                 n_fine=args.n_fine_samples, resolution=args.occupancy_res,
-                compute_dtype=rcfg_train.compute_dtype, mesh=None)
+                compute_dtype=rcfg_train.compute_dtype, pallas=args.pallas,
+                mesh=None)
 
         if start >= args.occ_train_warmup:
             # Resumed past the warmup boundary: re-enter accelerated mode

@@ -158,9 +158,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "field to bake from)")
     p.add_argument("--occ_train_every", type=int, default=1000,
                    help="rebake cadence (steps) during --occ_train")
-    p.add_argument("--occ_train_mode", default="merge",
+    p.add_argument("--occ_train_mode", default=None,
                    choices=["full", "merge"],
-                   help="--occ_train sampling mode. 'merge' (default): "
+                   help="--occ_train sampling mode. Unset: the run dir's "
+                        "recorded mode if it has one (a checkpoint keeps "
+                        "the sampling semantics it was trained with), "
+                        "else 'merge'. 'merge' (default): "
                         "keep the stratified probe depths and merge with "
                         "the resample (n_coarse+n_fine evals — only the "
                         "coarse MLP is saved; 1.27x measured, and "

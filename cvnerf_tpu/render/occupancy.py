@@ -54,7 +54,7 @@ class OccupancyGrid(NamedTuple):
 
 @functools.lru_cache(maxsize=16)
 def _bake_fn(mlp: NerfMLPConfig, compute_dtype, res: tuple,
-             dilate: int, chunk: int, use_pallas: bool):
+             dilate: int, chunk: int, use_pallas: bool, interpret: bool):
     """One jitted whole-bake program per (architecture, dtype, lattice).
 
     Everything stays on device: the lattice is generated from iota (no
@@ -81,7 +81,7 @@ def _bake_fn(mlp: NerfMLPConfig, compute_dtype, res: tuple,
         if use_pallas:
             from cvnerf_tpu.ops.pallas import fused_nerf_train_apply
             raw = fused_nerf_train_apply(params, pts, jnp.zeros_like(pts),
-                                         mlp, compute_dtype, 4096, False)
+                                         mlp, compute_dtype, 4096, interpret)
             return raw[:, 3]
         enc = freq_encode(pts, mlp.xyz_freqs)
         dir_enc = jnp.zeros(pts.shape[:-1] + (mlp.dir_dim,), pts.dtype)
@@ -135,9 +135,11 @@ def bake_occupancy(net_params: dict, mlp: NerfMLPConfig,
     safer than under-including.
 
     Runs as ONE device program (lattice gen → MLP → ReLU → max-pool); only
-    the weights cross the host link. ``pallas="auto"`` picks the fused
-    kernel on TPU, the jnp oracle elsewhere (same dispatch rule as
-    ``RenderConfig.resolve_pallas``).
+    the weights cross the host link. ``pallas`` follows the same dispatch
+    rule as ``RenderConfig.resolve_pallas``: ``"auto"`` picks the fused
+    kernel on TPU and the jnp oracle elsewhere, ``"on"``/``"off"`` force it,
+    ``"interpret"`` runs the kernel in the Pallas interpreter (how the CPU
+    test suite covers this glue).
     """
     res = tuple(int(r) for r in
                 np.broadcast_to(np.asarray(resolution, np.int32), (3,)))
@@ -148,10 +150,12 @@ def bake_occupancy(net_params: dict, mlp: NerfMLPConfig,
     if pallas == "auto":
         from cvnerf_tpu.ops.pallas.fused_mlp import pallas_supported
         use_pallas = pallas_supported()
+    elif pallas in ("on", "off", "interpret"):
+        use_pallas = pallas != "off"
     else:
-        use_pallas = pallas == "on"
+        raise ValueError(f"bad pallas mode: {pallas!r}")
     run = _bake_fn(mlp, compute_dtype, res, int(dilate),
-                   int(chunk), use_pallas)
+                   int(chunk), use_pallas, pallas == "interpret")
     values = run(net_params, jnp.asarray(lo), jnp.asarray(hi))
     inv_spacing = (np.asarray(res, np.float32) - 1) / (hi - lo)
     return OccupancyGrid(values=values,
@@ -171,6 +175,7 @@ def bake_scene_occupancy(params: dict, mlp: NerfMLPConfig, *,
                          ndc: bool, bound: float, n_fine: int,
                          resolution: int = 192, dilate: int = 1,
                          compute_dtype=jnp.float32,
+                         pallas: str = "auto",
                          mesh=None) -> OccupancyGrid:
     """Box choice + net choice + bake (+ mesh replication) in one place.
 
@@ -185,7 +190,8 @@ def bake_scene_occupancy(params: dict, mlp: NerfMLPConfig, *,
     net = "fine" if n_fine > 0 else "coarse"
     occ = bake_occupancy(jax.tree.map(np.asarray, params[net]), mlp,
                          bb_min, bb_max, resolution=resolution,
-                         dilate=dilate, compute_dtype=compute_dtype)
+                         dilate=dilate, compute_dtype=compute_dtype,
+                         pallas=pallas)
     if mesh is not None:
         from cvnerf_tpu.parallel.mesh import replicate_to_mesh
         occ = replicate_to_mesh(occ, mesh)

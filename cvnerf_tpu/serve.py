@@ -52,7 +52,7 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          occ_train: bool = False,
                          occ_res: int = 192,
                          occ_bound: float = 1.5,
-                         occ_mode: str = "full") -> str:
+                         occ_mode: str | None = None) -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -84,6 +84,13 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         # Occupancy-trained checkpoints (--occ_train) carry an UNTRAINED
         # coarse net: any consumer must resample through a baked grid, so
         # record the bake parameters and let from_run_dir auto-enable it.
+        # The mode has no default on purpose: the trainer's flag default
+        # and this function once disagreed ('merge' vs 'full'), which would
+        # have served checkpoints through sampling they weren't trained
+        # with — every writer must say which mode actually ran.
+        if occ_mode not in ("full", "merge"):
+            raise ValueError(f"occ_train snapshots must record the sampling "
+                             f"mode ('full' or 'merge'), got {occ_mode!r}")
         payload["occ_train"] = {"resolution": int(occ_res),
                                 "bound": float(occ_bound),
                                 "mode": occ_mode}
@@ -290,7 +297,8 @@ class NerfRenderer:
         grid = bake_scene_occupancy(
             self._float_params, self.cfg.mlp, ndc=self.ndc, bound=bound,
             n_fine=self.cfg.n_fine, resolution=resolution, dilate=dilate,
-            compute_dtype=self.cfg.compute_dtype, mesh=self.mesh)
+            compute_dtype=self.cfg.compute_dtype, pallas=self.cfg.pallas,
+            mesh=self.mesh)
         if require_occupied and occupied_fraction(grid) <= 0.0:
             print("[WARN] occupancy bake found no positive density — "
                   "serving grid-less (the checkpoint's coarse net drives "

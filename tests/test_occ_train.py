@@ -361,3 +361,61 @@ def test_occ_train_requires_fine_samples(tmp_path):
                   "--save_dir", str(tmp_path / "lg"), "--name", "x",
                   "--dtype", "blender", "--n_fine_samples", "0",
                   "--occ_train", "--iters", "2"])
+
+
+def test_occ_train_mode_sticks_to_run_dir(tmp_path):
+    """An unset --occ_train_mode resolves to the run dir's RECORDED mode,
+    not the shipped default: a checkpoint trained full-mode must keep full
+    sampling when a later CLI invocation (resume, --render_only) omits the
+    flag — the default changed once (full -> merge) and silently flipping
+    legacy runs would change their pinned eval numbers."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_blender_dataset
+    import main as cli
+
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=3, n_val=1, n_test=1, h=24, w=24)
+    logdir = str(tmp_path / "logs_mode")
+    base = ["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+            "--name", "occ", "--no-bf16", "--dtype", "blender",
+            "--white_bkg", "--testskip", "1",
+            "--n_rays", "64", "--n_coarse_samples", "8",
+            "--n_fine_samples", "8", "--trunk_width", "32",
+            "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+            "--noise", "1.0", "--chunk", "256", "--print_freq", "5",
+            "--vid_freq", "0", "--val_freq", "0", "--lr", "1e-5",
+            "--seed", "1", "--iters", "6", "--ckpt_freq", "4",
+            "--occ_train", "--occ_train_warmup", "2",
+            "--occ_train_every", "3", "--occupancy_res", "8"]
+    cli.main(base + ["--occ_train_mode", "full"])
+    scene_json = os.path.join(logdir, "occ", "scene.json")
+
+    import json
+    # Re-invoke WITHOUT the mode flag: render_only rewrites scene.json at
+    # startup, and it must preserve the trained mode.
+    cli.main(base + ["--render_only", "--render_factor", "4"])
+    with open(scene_json) as fp:
+        assert json.load(fp)["occ_train"]["mode"] == "full"
+
+    # An explicit flag still wins (the user asked for the change).
+    cli.main(base + ["--render_only", "--render_factor", "4",
+                     "--occ_train_mode", "merge"])
+    with open(scene_json) as fp:
+        assert json.load(fp)["occ_train"]["mode"] == "merge"
+
+
+def test_snapshot_requires_occ_mode(tmp_path):
+    """write_scene_snapshot refuses an occ_train payload without an
+    explicit sampling mode (a silent default once disagreed with the
+    trainer's flag default — serving semantics must come from the writer)."""
+    from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
+    from cvnerf_tpu.serve import write_scene_snapshot
+    with pytest.raises(ValueError, match="mode"):
+        write_scene_snapshot(
+            str(tmp_path), height=8, width=8, focal=10.0, near=2.0,
+            far=6.0, ndc=False, ndc_variant="canonical", white_bkg=True,
+            n_coarse=4, n_fine=4, bf16=False,
+            mlp=NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32,
+                              head_width=16),
+            occ_train=True)

@@ -41,6 +41,27 @@ def test_bake_matches_relu_of_direct_apply(tiny_params):
                                np.maximum(sigma, 0), rtol=1e-5, atol=1e-5)
 
 
+def test_bake_pallas_interpret_matches_oracle(tiny_params):
+    """The bake's fused-kernel branch (zeros viewdirs, sigma column, tile
+    plumbing) == the jnp-oracle branch — exercised in the Pallas
+    interpreter so the CPU suite covers the glue that otherwise only runs
+    on the real chip (where a bad bake costs a 4-12 min compile to debug)."""
+    kw = dict(resolution=7, dilate=1, chunk=64)
+    g_oracle = bake_occupancy(tiny_params["fine"], TINY, (-1.0,) * 3,
+                              (1.0,) * 3, pallas="off", **kw)
+    g_kernel = bake_occupancy(tiny_params["fine"], TINY, (-1.0,) * 3,
+                              (1.0,) * 3, pallas="interpret", **kw)
+    np.testing.assert_allclose(np.asarray(g_kernel.values),
+                               np.asarray(g_oracle.values),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bake_rejects_bad_pallas_mode(tiny_params):
+    with pytest.raises(ValueError, match="pallas"):
+        bake_occupancy(tiny_params["fine"], TINY, (-1.0,) * 3, (1.0,) * 3,
+                       resolution=5, pallas="maybe")
+
+
 def test_dilation_is_conservative(tiny_params):
     g0 = bake_occupancy(tiny_params["fine"], TINY, (-1.0,) * 3, (1.0,) * 3,
                         resolution=9, dilate=0)
