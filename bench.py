@@ -28,6 +28,13 @@ import time
 import numpy as np
 
 REFERENCE_GPU_RAYS_PER_SEC = 5000.0  # estimated; see module docstring
+# MEASURED on this host (round 4, BASELINE.md "Measured reference
+# denominator"): the reference's own lego workload, NameErrors patched,
+# torch 2.13.0+cpu, 1-core host — best observed arm (detect_anomaly off,
+# least-loaded run). vs_baseline below keeps the GPU estimate (the
+# reference targets CUDA); this key puts a measured number in the
+# artifact so the ratio's provenance is explicit.
+REFERENCE_MEASURED_HOST_CPU_RAYS_PER_SEC = 47.1
 
 
 def _enable_compile_cache():
@@ -260,11 +267,19 @@ def bench(train_steps: int = 200, warmup: int = 20,
         "n_chips": n_chips,
         "final_loss": round(float(final["loss"]), 5),
         "baseline_rays_per_sec_estimated": REFERENCE_GPU_RAYS_PER_SEC,
+        "baseline_denominators": {
+            "vs_baseline_uses": "estimated_gpu",
+            "estimated_gpu_rays_per_sec": REFERENCE_GPU_RAYS_PER_SEC,
+            "measured_host_cpu_rays_per_sec":
+                REFERENCE_MEASURED_HOST_CPU_RAYS_PER_SEC,
+        },
         "smoke": smoke,
     }
     value = train_rays_sec / n_chips
     result["value"] = round(value, 1)
     result["vs_baseline"] = round(value / REFERENCE_GPU_RAYS_PER_SEC, 2)
+    result["vs_measured_host_cpu"] = round(
+        value / REFERENCE_MEASURED_HOST_CPU_RAYS_PER_SEC, 1)
 
     if not smoke:
         off_train = steps_for["off"] * cfg.n_rays / median(train_times["off"])

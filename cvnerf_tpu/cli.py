@@ -73,6 +73,18 @@ def main(argv=None):
     save_dir = os.path.join(args.save_dir, args.name)
     os.makedirs(run_dir, exist_ok=True)
     os.makedirs(save_dir, exist_ok=True)
+    # The run dir's existing occ_train serving metadata, if any. Read it
+    # defensively: a corrupt/foreign scene.json (non-dict top level, non-dict
+    # occ_train) must fall back like a missing one, not crash at startup.
+    recorded_occ = None
+    try:
+        with open(os.path.join(run_dir, "scene.json")) as fp:
+            _snap = json.load(fp)
+        _ot = _snap.get("occ_train") if isinstance(_snap, dict) else None
+        if isinstance(_ot, dict):
+            recorded_occ = dict(_ot)
+    except (OSError, ValueError):
+        pass
     if args.occ_train_mode is None:
         # Unset on the CLI/config: honor the mode this run dir was actually
         # trained with before falling back to the shipped default — a
@@ -80,18 +92,36 @@ def main(argv=None):
         # version changed the default. Legacy --occ_train runs predate the
         # mode flag and were implicitly "full" (the same rule
         # serve.NerfRenderer.from_run_dir applies).
-        recorded = None
-        try:
-            with open(os.path.join(run_dir, "scene.json")) as fp:
-                ot = json.load(fp).get("occ_train")
-            if ot:
-                recorded = ot.get("mode", "full")
-        except (OSError, ValueError):
-            pass
+        recorded = (recorded_occ.get("mode", "full")
+                    if recorded_occ is not None else None)
         args.occ_train_mode = recorded or "merge"
         if recorded and args.occ_train:
             print(f"occ_train: using the run dir's recorded sampling mode "
                   f"{recorded!r} (pass --occ_train_mode to override)")
+    if args.occ_interp is None:
+        # Same stickiness rule as the mode: a checkpoint keeps the probe it
+        # was trained/recorded with. Legacy occ payloads predate the interp
+        # field and were nearest-vertex.
+        args.occ_interp = (recorded_occ.get("interp", "nearest")
+                           if recorded_occ is not None else "trilinear")
+    # A re-invocation that omits --occ_train on a run dir whose checkpoints
+    # WERE occ-trained (untrained coarse net) must not silently downgrade
+    # the serving metadata: the rewritten scene.json would serve those
+    # checkpoints grid-less. Preserve the recorded payload unless the user
+    # explicitly starts a fresh run (--no_reload backs the checkpoints up,
+    # so the new run's checkpoints really are plain).
+    preserve_occ = None
+    if recorded_occ is not None and not args.occ_train:
+        if args.no_reload:
+            print("[WARN] run dir recorded --occ_train but this fresh "
+                  "(--no_reload) run is plain: dropping the occupancy "
+                  "serving metadata from scene.json")
+        else:
+            preserve_occ = recorded_occ
+            print("[WARN] run dir recorded --occ_train but this invocation "
+                  "omits it: preserving the occupancy serving metadata in "
+                  "scene.json (the existing checkpoints carry an untrained "
+                  "coarse net). Pass --no_reload for a fresh plain run.")
     snapshot_config(args, run_dir)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
 
@@ -113,7 +143,8 @@ def main(argv=None):
         white_bkg=args.white_bkg, mlp=mlp,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas=args.pallas, sorted_resample=args.sorted_resample,
-        occupancy_mode=args.occ_train_mode if args.occ_train else "merge")
+        occupancy_mode=args.occ_train_mode if args.occ_train else "merge",
+        occupancy_interp=args.occ_interp)
     rcfg_test = rcfg_train.eval_mode()
     if args.deterministic_resample:
         import dataclasses
@@ -131,8 +162,11 @@ def main(argv=None):
         n_coarse=args.n_coarse_samples, n_fine=args.n_fine_samples,
         bf16=args.bf16, mlp=mlp, sorted_resample=args.sorted_resample,
         pallas=args.pallas, calib_poses=scene.poses,
-        occ_train=args.occ_train, occ_res=args.occupancy_res,
-        occ_bound=args.occupancy_bound, occ_mode=args.occ_train_mode)
+        occ_train=args.occ_train or preserve_occ is not None,
+        occ_res=(preserve_occ or {}).get("resolution", args.occupancy_res),
+        occ_bound=(preserve_occ or {}).get("bound", args.occupancy_bound),
+        occ_mode=(preserve_occ or {}).get("mode", args.occ_train_mode),
+        occ_interp=(preserve_occ or {}).get("interp", args.occ_interp))
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
@@ -342,10 +376,20 @@ def main(argv=None):
             from cvnerf_tpu.parallel.mesh import replicated_sharding
             params = jax.device_put(params, replicated_sharding(mesh))
         occ = None
-        if args.occ_train and not args.occupancy:
+        if (args.occ_train or preserve_occ is not None) and not args.occupancy:
             # An --occ_train run's checkpoints carry an untrained coarse
-            # net — render them the way they were trained.
-            args.occupancy = args.occ_train_mode
+            # net — render them the way they were trained (also when the
+            # re-invocation omitted --occ_train and we preserved the run
+            # dir's recorded metadata above).
+            args.occupancy = ((preserve_occ or {}).get("mode")
+                              or args.occ_train_mode)
+            if preserve_occ is not None:
+                args.occupancy_res = preserve_occ.get(
+                    "resolution", args.occupancy_res)
+                args.occupancy_bound = preserve_occ.get(
+                    "bound", args.occupancy_bound)
+                print(f"--render_only: rendering through the run dir's "
+                      f"recorded occupancy mode {args.occupancy!r}")
         if args.occupancy:
             import dataclasses
             from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,

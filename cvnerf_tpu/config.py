@@ -173,6 +173,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "1.65x, but removing the stratified exploration "
                         "depths costs several dB on complex scenes; "
                         "BASELINE.md)")
+    p.add_argument("--occ_interp", default=None,
+                   choices=["trilinear", "nearest"],
+                   help="occupancy probe interpolation (any occupancy "
+                        "path: --occupancy, --occ_train). Unset: the run "
+                        "dir's recorded probe if it has one (sampling "
+                        "semantics stick to the checkpoint), else "
+                        "'trilinear' (continuous-in-depth probe CDF). "
+                        "'nearest' is the round-3 piecewise-constant "
+                        "probe (the measured full-mode quality cliff on "
+                        "real content)")
     p.add_argument("--occupancy_res", type=int, default=192,
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,

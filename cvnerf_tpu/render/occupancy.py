@@ -216,6 +216,72 @@ def occupied_fraction(grid: OccupancyGrid) -> float:
     return float(jnp.mean((grid.values > 0).astype(jnp.float32)))
 
 
+def probe_sigma(grid: OccupancyGrid, points: jnp.ndarray,
+                interp: str = "trilinear") -> jnp.ndarray:
+    """Probe dispatcher: ``"trilinear"`` (default) or ``"nearest"``.
+
+    Trilinear is the production default: the nearest-vertex probe's
+    piecewise-constant CDF was root-caused (ROADMAP item 25) as full-mode
+    occ-train's quality cliff on real content — sample placement snaps to
+    lattice cells, so geometry between vertices gets systematically
+    mis-weighted resamples. Interpolation makes the probe CDF continuous
+    in depth for ~3 extra row-gathers per point (measured costs in
+    BASELINE.md). ``"nearest"`` reproduces the round-3 pinned numbers.
+    """
+    if interp == "trilinear":
+        return occupancy_sigma_trilinear(grid, points)
+    if interp == "nearest":
+        return occupancy_sigma(grid, points)
+    raise ValueError(f"bad occupancy interp: {interp!r}")
+
+
+def occupancy_sigma_trilinear(grid: OccupancyGrid,
+                              points: jnp.ndarray) -> jnp.ndarray:
+    """Trilinearly interpolated sigma at ``points [..., 3]`` → ``[...]``.
+
+    Same clamp-to-boundary semantics as the nearest probe (outside the
+    bbox the probe saturates at the boundary value), and exactly equal to
+    it at lattice vertices.
+
+    Lowering follows the measured gather discipline (see
+    ``occupancy_sigma``): per-point scalar gathers are the slow path on
+    TPU, so fetch the four (x, y) z-ROWS of the cell's corners with one
+    wide ``jnp.take`` and do the z-lerp as a single one-hot VPU
+    contraction — the contraction weight vector IS the z interpolation
+    ``(1-fz)·[z==z0] + fz·[z==z0+1]`` — then finish with a 4-value
+    bilinear lerp in (x, y).
+    """
+    rx, ry, rz = grid.values.shape
+    pts = points.astype(jnp.float32)
+    c = (pts - grid.bbox_min) * grid.inv_spacing
+    c = jnp.clip(c, 0.0, jnp.asarray([rx - 1, ry - 1, rz - 1], jnp.float32))
+    i0 = jnp.clip(jnp.floor(c), 0.0,
+                  jnp.asarray([rx - 2, ry - 2, rz - 2], jnp.float32))
+    f = c - i0                                   # [.., 3] in [0, 1]
+    i0 = i0.astype(jnp.int32)
+
+    flat_shape = points.shape[:-1]
+    x0 = i0[..., 0].reshape(-1)
+    y0 = i0[..., 1].reshape(-1)
+    z0 = i0[..., 2].reshape(-1)
+    fx = f[..., 0].reshape(-1)
+    fy = f[..., 1].reshape(-1)
+    fz = f[..., 2].reshape(-1)
+
+    table = grid.values.reshape(rx * ry, rz)
+    r00 = x0 * ry + y0
+    rows = jnp.take(table,
+                    jnp.stack([r00, r00 + 1, r00 + ry, r00 + ry + 1], -1),
+                    axis=0)                      # [n, 4, rz]
+    zr = jnp.arange(rz, dtype=jnp.int32)[None, :]
+    wz = ((zr == z0[:, None]).astype(jnp.float32) * (1.0 - fz)[:, None]
+          + (zr == z0[:, None] + 1).astype(jnp.float32) * fz[:, None])
+    v = jnp.einsum("nkz,nz->nk", rows, wz)       # [n, 4] = v00 v01 v10 v11
+    vx0 = v[:, 0] * (1.0 - fy) + v[:, 1] * fy
+    vx1 = v[:, 2] * (1.0 - fy) + v[:, 3] * fy
+    return (vx0 * (1.0 - fx) + vx1 * fx).reshape(flat_shape)
+
+
 def occupancy_sigma(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Probe the grid at ``points [..., 3]`` → nearest-vertex sigma ``[...]``.
 

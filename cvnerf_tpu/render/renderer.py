@@ -54,6 +54,11 @@ class RenderConfig:
     # the merge (n_fine evals only — half the MLP work of the reference
     # pipeline at n_coarse=64/n_fine=128).
     occupancy_mode: str = "merge"
+    # Occupancy probe interpolation: "trilinear" (continuous-in-depth probe
+    # CDF; production default) or "nearest" (round-3 behavior — the
+    # piecewise-constant CDF measured as full-mode's real-content quality
+    # cliff, ROADMAP item 25). Only active when a grid is passed.
+    occupancy_interp: str = "trilinear"
     mlp: NerfMLPConfig = NerfMLPConfig()
     compute_dtype: Any = jnp.float32
     # MLP execution path: "auto" uses the fused Pallas kernel on TPU and the
@@ -215,8 +220,8 @@ def render_rays(key: jax.Array,
     if occupancy is not None:
         # Probe the baked grid for resample weights: one gather per
         # sample point, no coarse MLP, no coarse image.
-        from cvnerf_tpu.render.occupancy import occupancy_sigma
-        sigma = occupancy_sigma(occupancy, points)
+        from cvnerf_tpu.render.occupancy import probe_sigma
+        sigma = probe_sigma(occupancy, points, cfg.occupancy_interp)
         raw = jnp.concatenate(
             [jnp.zeros((*sigma.shape, 3), sigma.dtype), sigma[..., None]],
             axis=-1)

@@ -52,7 +52,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          occ_train: bool = False,
                          occ_res: int = 192,
                          occ_bound: float = 1.5,
-                         occ_mode: str | None = None) -> str:
+                         occ_mode: str | None = None,
+                         occ_interp: str = "trilinear") -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -91,9 +92,14 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         if occ_mode not in ("full", "merge"):
             raise ValueError(f"occ_train snapshots must record the sampling "
                              f"mode ('full' or 'merge'), got {occ_mode!r}")
+        if occ_interp not in ("trilinear", "nearest"):
+            raise ValueError(f"occ_train snapshots must record the probe "
+                             f"interp ('trilinear' or 'nearest'), got "
+                             f"{occ_interp!r}")
         payload["occ_train"] = {"resolution": int(occ_res),
                                 "bound": float(occ_bound),
-                                "mode": occ_mode}
+                                "mode": occ_mode,
+                                "interp": occ_interp}
     with open(path, "w") as fp:
         json.dump(payload, fp, indent=2, sort_keys=True)
     return path
@@ -243,6 +249,10 @@ class NerfRenderer:
             r.enable_occupancy(resolution=int(ot["resolution"]),
                                bound=float(ot["bound"]),
                                mode=ot.get("mode", "full"),
+                               # Legacy (pre-round-4) occ_train runs were
+                               # trained with the nearest-vertex probe;
+                               # keep their sampling semantics.
+                               interp=ot.get("interp", "nearest"),
                                require_occupied=True)
         return r
 
@@ -271,6 +281,7 @@ class NerfRenderer:
 
     def enable_occupancy(self, *, resolution: int = 192, dilate: int = 1,
                          bound: float = 1.5, mode: str = "merge",
+                         interp: str = "trilinear",
                          require_occupied: bool = False) -> "NerfRenderer":
         """Bake an occupancy grid and serve all renders through it.
 
@@ -290,6 +301,9 @@ class NerfRenderer:
         """
         if mode not in ("merge", "full"):
             raise ValueError(f"mode must be 'merge' or 'full', got {mode!r}")
+        if interp not in ("trilinear", "nearest"):
+            raise ValueError(f"interp must be 'trilinear' or 'nearest', "
+                             f"got {interp!r}")
         from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,
                                                  occupied_fraction)
         # Bake from the host view of the float master copy (works
@@ -304,7 +318,8 @@ class NerfRenderer:
                   "serving grid-less (the checkpoint's coarse net drives "
                   "the resample)", flush=True)
             return self
-        self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode)
+        self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode,
+                                       occupancy_interp=interp)
         self.occupancy = grid
         return self
 

@@ -309,6 +309,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,
                    help="half-width of the bake cube for non-NDC scenes")
+    p.add_argument("--occ_interp", default="trilinear",
+                   choices=["trilinear", "nearest"],
+                   help="occupancy probe interpolation (trilinear: "
+                        "continuous-in-depth probe CDF; nearest: the "
+                        "round-3 piecewise-constant probe)")
     p.add_argument("--int8", action="store_true",
                    help="quantize the nets to int8 at startup and serve "
                         "through the fused int8 kernel (ops.quantize; "
@@ -381,9 +386,10 @@ def main(argv=None):
     if args.occupancy:
         renderer.enable_occupancy(resolution=args.occupancy_res,
                                   bound=args.occupancy_bound,
-                                  mode=args.occupancy)
+                                  mode=args.occupancy,
+                                  interp=args.occ_interp)
         print(f"occupancy grid active: mode={args.occupancy} "
-              f"res={args.occupancy_res}")
+              f"res={args.occupancy_res} interp={args.occ_interp}")
     if args.int8:
         renderer.enable_int8(n_calib=args.int8_calib,
                              bound=args.int8_bound)

@@ -419,3 +419,78 @@ def test_snapshot_requires_occ_mode(tmp_path):
             mlp=NerfMLPConfig(xyz_freqs=4, dir_freqs=2, trunk_width=32,
                               head_width=16),
             occ_train=True)
+
+
+def test_occ_metadata_survives_plain_reinvocation(tmp_path, capsys):
+    """ADVICE r3 #2: re-running an --occ_train run dir WITHOUT --occ_train
+    (e.g. a plain --render_only) must not silently drop the recorded
+    occ_train payload from scene.json — those checkpoints carry an
+    untrained coarse net and would otherwise serve grid-less. A fresh
+    --no_reload run IS allowed to drop it (its checkpoints are plain)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_blender_dataset
+    import main as cli
+
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=3, n_val=1, n_test=1, h=24, w=24)
+    logdir = str(tmp_path / "logs_keep")
+    base = ["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+            "--name", "occ", "--no-bf16", "--dtype", "blender",
+            "--white_bkg", "--testskip", "1",
+            "--n_rays", "64", "--n_coarse_samples", "8",
+            "--n_fine_samples", "8", "--trunk_width", "32",
+            "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+            "--noise", "1.0", "--chunk", "256", "--print_freq", "5",
+            "--vid_freq", "0", "--val_freq", "0", "--lr", "1e-5",
+            "--seed", "1", "--iters", "6", "--ckpt_freq", "4"]
+    occ = ["--occ_train", "--occ_train_warmup", "2",
+           "--occ_train_every", "3", "--occupancy_res", "8",
+           "--occ_train_mode", "full"]
+    cli.main(base + occ)
+    scene_json = os.path.join(logdir, "occ", "scene.json")
+
+    import json
+    # Plain --render_only (no --occ_train): payload preserved verbatim,
+    # and the render goes through the recorded occupancy mode.
+    cli.main(base + ["--render_only", "--render_factor", "4"])
+    out = capsys.readouterr().out
+    assert "preserving the occupancy serving metadata" in out
+    assert "recorded occupancy mode 'full'" in out
+    with open(scene_json) as fp:
+        ot = json.load(fp)["occ_train"]
+    assert ot["mode"] == "full" and ot["resolution"] == 8
+
+    # Fresh plain run (--no_reload): metadata legitimately dropped.
+    cli.main(base + ["--no_reload"])
+    out = capsys.readouterr().out
+    assert "dropping the occupancy serving metadata" in out
+    with open(scene_json) as fp:
+        assert "occ_train" not in json.load(fp)
+
+
+def test_corrupt_scene_json_tolerated(tmp_path):
+    """ADVICE r3 #1: a scene.json whose top level is valid JSON but not an
+    object (or whose occ_train isn't a dict) must fall back like a missing
+    file, not crash the CLI at startup."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import make_blender_dataset
+    import main as cli
+
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=3, n_val=1, n_test=1, h=24, w=24)
+    logdir = str(tmp_path / "logs_corrupt")
+    run_dir = os.path.join(logdir, "occ")
+    os.makedirs(run_dir)
+    with open(os.path.join(run_dir, "scene.json"), "w") as fp:
+        fp.write("[1, 2, 3]")
+    cli.main(["--data_dir", d, "--base_dir", logdir, "--save_dir", logdir,
+              "--name", "occ", "--no-bf16", "--dtype", "blender",
+              "--white_bkg", "--testskip", "1",
+              "--n_rays", "64", "--n_coarse_samples", "8",
+              "--n_fine_samples", "8", "--trunk_width", "32",
+              "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+              "--chunk", "256", "--print_freq", "5",
+              "--vid_freq", "0", "--val_freq", "0",
+              "--seed", "1", "--iters", "2", "--ckpt_freq", "0"])

@@ -239,3 +239,107 @@ def test_serve_enable_occupancy(tmp_path, tiny_params):
     np.testing.assert_array_equal(full, r.render_pose(pose))
     with pytest.raises(ValueError, match="mode"):
         r.enable_occupancy(resolution=17, mode="turbo")
+
+
+# --- trilinear probe (round 4: the continuous-in-depth probe CDF) ---
+
+def _linear_grid(res=7, coef=(0.7, -0.3, 1.1), const=2.5,
+                 lo=(-1.0, -1.0, -1.0), hi=(1.0, 1.0, 1.0)):
+    """A grid sampling an affine field f(p) = coef·p + const (kept positive
+    inside the bbox so ReLU semantics don't bite)."""
+    ax = [np.linspace(lo[k], hi[k], res, dtype=np.float32) for k in range(3)]
+    X, Y, Z = np.meshgrid(*ax, indexing="ij")
+    vals = coef[0] * X + coef[1] * Y + coef[2] * Z + const
+    assert (vals > 0).all()
+    inv = (res - 1) / (np.asarray(hi) - np.asarray(lo))
+    return OccupancyGrid(values=jnp.asarray(vals),
+                         bbox_min=jnp.asarray(lo, jnp.float32),
+                         inv_spacing=jnp.asarray(inv, jnp.float32)), \
+        (np.asarray(coef), const)
+
+
+def test_trilinear_exact_on_affine_field():
+    """Trilinear interpolation reproduces an affine field EXACTLY at
+    arbitrary interior points (the property that makes the probe CDF
+    continuous in depth — nearest-vertex cannot do this)."""
+    from cvnerf_tpu.render.occupancy import occupancy_sigma_trilinear
+    grid, (coef, const) = _linear_grid()
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-0.95, 0.95, (50, 4, 3)).astype(np.float32)
+    got = np.asarray(occupancy_sigma_trilinear(grid, jnp.asarray(pts)))
+    want = pts @ coef + const
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_trilinear_equals_nearest_at_vertices():
+    from cvnerf_tpu.render.occupancy import occupancy_sigma_trilinear
+    grid, _ = _linear_grid(res=5)
+    ax = np.linspace(-1, 1, 5, dtype=np.float32)
+    pts = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    tri = np.asarray(occupancy_sigma_trilinear(grid, jnp.asarray(pts)))
+    near = np.asarray(occupancy_sigma(grid, jnp.asarray(pts)))
+    np.testing.assert_allclose(tri, near, rtol=1e-5, atol=1e-6)
+
+
+def test_trilinear_clamps_outside_bbox():
+    """Points outside the bbox saturate at the boundary value (same
+    semantics as the nearest probe)."""
+    from cvnerf_tpu.render.occupancy import occupancy_sigma_trilinear
+    grid, (coef, const) = _linear_grid()
+    out_pts = np.asarray([[5.0, 0.0, 0.0], [-5.0, -5.0, -5.0],
+                          [0.25, 9.0, -9.0]], np.float32)
+    clamped = np.clip(out_pts, -1.0, 1.0)
+    got = np.asarray(occupancy_sigma_trilinear(grid, jnp.asarray(out_pts)))
+    want = clamped @ coef + const
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_probe_dispatcher_and_render_interp_paths(tiny_params):
+    """probe_sigma dispatches by name; render_rays runs under both interp
+    settings and they differ off-lattice (trilinear is genuinely active)."""
+    from cvnerf_tpu.render.occupancy import probe_sigma
+    rng = np.random.RandomState(0)
+    # Synthetic non-constant table (a random-init net bakes to all-zero
+    # ReLU'd sigma, which would make both probes trivially equal).
+    vals = rng.uniform(0.0, 3.0, (8, 8, 8)).astype(np.float32)
+    grid = OccupancyGrid(values=jnp.asarray(vals),
+                         bbox_min=jnp.asarray([-3.0] * 3, jnp.float32),
+                         inv_spacing=jnp.asarray([7.0 / 6.0] * 3,
+                                                 jnp.float32))
+    pts = jnp.asarray(rng.uniform(-2.5, 2.5, (64, 3)).astype(np.float32))
+    tri = np.asarray(probe_sigma(grid, pts, "trilinear"))
+    near = np.asarray(probe_sigma(grid, pts, "nearest"))
+    assert np.isfinite(tri).all() and np.isfinite(near).all()
+    assert not np.allclose(tri, near)
+    with pytest.raises(ValueError, match="interp"):
+        probe_sigma(grid, pts, "cubic")
+
+    key = jax.random.PRNGKey(5)
+    rays_o = jnp.zeros((8, 3)) + jnp.asarray([0.0, 0.0, -2.5])
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    # render_rays must dispatch the probe CONFIGURED on the RenderConfig
+    # (a random-init fine net renders all-zero rgb either way, so assert
+    # on the dispatch itself, not the image).
+    import cvnerf_tpu.render.occupancy as occ_mod
+    seen = []
+    real_probe = occ_mod.probe_sigma
+
+    def spy(grid_, points_, interp_="trilinear"):
+        seen.append(interp_)
+        return real_probe(grid_, points_, interp_)
+
+    occ_mod.probe_sigma = spy
+    try:
+        for interp in ("trilinear", "nearest"):
+            cfg = RenderConfig(n_coarse=8, n_fine=8, perturb=False,
+                               mlp=TINY, occupancy_mode="full",
+                               occupancy_interp=interp)
+            out = np.asarray(render_rays(
+                key, tiny_params, rays_o, rays_d, rays_d, 0.5, 5.0, cfg,
+                occupancy=grid)["rgb"])
+            assert np.isfinite(out).all()
+    finally:
+        occ_mod.probe_sigma = real_probe
+    assert seen == ["trilinear", "nearest"]
