@@ -514,7 +514,10 @@ def main(argv=None):
 
     # One persistent manager for the whole run; saves are asynchronous so
     # checkpoint I/O overlaps the following train steps.
-    ckpt_writer = Checkpointer(ckpt_dir)
+    if args.ckpt_keep < 1:
+        sys.exit("--ckpt_keep must be >= 1 (retention of zero checkpoints "
+                 "would make every save a no-op)")
+    ckpt_writer = Checkpointer(ckpt_dir, max_to_keep=args.ckpt_keep)
 
     # Best-validation model selection (--track_best): on sparse captures
     # the held-out quality can peak mid-run (measured on the 360° band:
@@ -525,7 +528,8 @@ def main(argv=None):
     # first (possibly post-peak) val it sees; stale-run leftovers are
     # moved aside by backup_stale_ckpts above.
     best = {"psnr": float("-inf"), "step": None}
-    best_writer = (Checkpointer(ckpt_dir + "_best")
+    best_writer = (Checkpointer(ckpt_dir + "_best",
+                                max_to_keep=args.ckpt_keep)
                    if args.track_best and args.val_freq > 0 else None)
     if best_writer is not None and os.path.exists(best_meta_path) and \
             (latest_step(ckpt_dir + "_best") is not None):

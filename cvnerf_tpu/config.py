@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_freq", type=int, default=2500,
                    help="checkpoint cadence (the reference team's "
                         "historical cadence)")
+    p.add_argument("--ckpt_keep", type=int, default=3,
+                   help="checkpoints retained per directory (orbax "
+                        "max_to_keep; the latest N periodic checkpoints, "
+                        "and independently the N best-val ones under "
+                        "--track_best)")
     p.add_argument("--track_best", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="save a separate best-validation checkpoint "

@@ -311,3 +311,81 @@ def occupancy_sigma(grid: OccupancyGrid, points: jnp.ndarray) -> jnp.ndarray:
                 == jnp.arange(rz, dtype=jnp.int32)[None, :])
     return jnp.sum(rows * z_onehot.astype(rows.dtype),
                    axis=-1).reshape(flat_shape)
+
+
+def occupancy_ray_bounds(grid: OccupancyGrid,
+                         rays_o: jnp.ndarray,
+                         rays_d: jnp.ndarray,
+                         near: jnp.ndarray,
+                         far: jnp.ndarray,
+                         eps: float = 1e-3,
+                         n_probe: int = 128,
+                         interp: str = "trilinear"
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tighten per-ray [near, far] from the baked grid: empty-space skip
+    at the front, transmittance termination at the back.
+
+    The compositor always evaluates every sample (ops/compositing.py), so
+    once transmittance along a ray is ~0 the remaining fine-MLP work is
+    wasted — and before the first occupied voxel it was never useful.
+    Point-level compaction is TPU-hostile (dynamic shapes, or per-sample
+    gathers that cost more than they save — the lowering measurements in
+    ``occupancy_sigma``); tightening the RAY INTERVAL instead keeps every
+    shape static and every op vectorized: all n_coarse stratified samples
+    (and therefore the resampled fine samples) land inside the region that
+    actually contributes. Equal sample counts then oversample the visible
+    region (quality up), so REDUCED counts hold quality at higher speed —
+    the measured trade lives in BASELINE.md.
+
+    Method (gather-free beyond the probe itself): march ``n_probe``
+    uniform probes over [near, far]; probe sigma; alpha/transmittance with
+    the compositor's exact math;
+      new near = one probe step before the first occupied probe,
+      new far  = one probe step after transmittance first drops below
+                 ``eps``
+    (the step margins + the bake's dilation keep the clamp conservative).
+    Rays whose probes never see density, or whose transmittance never
+    saturates, keep their original bound(s). Probe indices come from
+    compare-count reductions (no searchsorted/gather; CLAUDE.md).
+
+    Reference parity: none — the reference has no acceleration structure
+    at all (its coarse net runs on every render forever, main.py:221-244);
+    this is a serving-only, flag-gated addition (``--occ_term``).
+    """
+    n = rays_o.shape[0]
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (n,))
+    far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n,))
+    step = (far - near) / (n_probe - 1)                      # [n]
+    t = near[:, None] + step[:, None] * jnp.arange(
+        n_probe, dtype=jnp.float32)[None, :]                 # [n, K]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    sigma = probe_sigma(grid, pts, interp)                   # [n, K]
+
+    # Compositor math at the probe resolution (uniform deltas; the last
+    # probe's terminal delta is irrelevant to the indices we extract).
+    delta = step[:, None] * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    alpha = 1.0 - jnp.exp(-jnp.maximum(sigma, 0.0) * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    # exclusive: T_i = prod_{j<i}; roll and pin T_0 = 1
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+
+    occupied = sigma > 0.0                                   # [n, K]
+    any_occ = jnp.any(occupied, axis=-1)
+    # index of first occupied probe = count of the leading unoccupied run
+    first_occ = jnp.sum((jnp.cumsum(occupied.astype(jnp.int32), axis=-1)
+                         == 0).astype(jnp.int32), axis=-1)   # [n]
+    terminated = trans < eps
+    any_term = jnp.any(terminated, axis=-1)
+    first_term = jnp.sum((jnp.cumsum(terminated.astype(jnp.int32), axis=-1)
+                          == 0).astype(jnp.int32), axis=-1)  # [n]
+
+    # t is an affine function of the index — closed form, no gather.
+    t_first = near + first_occ.astype(jnp.float32) * step
+    t_term = near + first_term.astype(jnp.float32) * step
+    new_near = jnp.where(any_occ, jnp.maximum(t_first - step, near), near)
+    new_far = jnp.where(any_term, jnp.minimum(t_term + step, far), far)
+    # Degenerate guard (can only trigger on pathological eps): keep a
+    # minimal positive interval so stratified sampling stays well-formed.
+    new_far = jnp.maximum(new_far, new_near + 1e-4 * (far - near))
+    return new_near, new_far

@@ -59,6 +59,15 @@ class RenderConfig:
     # piecewise-constant CDF measured as full-mode's real-content quality
     # cliff, ROADMAP item 25). Only active when a grid is passed.
     occupancy_interp: str = "trilinear"
+    # Early ray termination / empty-space skip (serving-only, needs a
+    # grid): tighten each ray's [near, far] by probe-marching the grid —
+    # near moves to the first occupied probe, far to where probe
+    # transmittance drops below this epsilon (0 = off). Static shapes
+    # throughout (occupancy.occupancy_ray_bounds); all samples then land
+    # where they contribute, so REDUCED sample counts hold quality at
+    # higher speed (measured trade in BASELINE.md).
+    occupancy_termination: float = 0.0
+    termination_probes: int = 128
     mlp: NerfMLPConfig = NerfMLPConfig()
     compute_dtype: Any = jnp.float32
     # MLP execution path: "auto" uses the fused Pallas kernel on TPU and the
@@ -210,6 +219,15 @@ def render_rays(key: jax.Array,
     n_rays = rays_o.shape[0]
     if ray_ids is None:
         ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
+
+    if occupancy is not None and cfg.occupancy_termination > 0.0:
+        # Early termination / empty-space skip: probe-march the grid and
+        # tighten the per-ray sampling interval before any MLP work.
+        from cvnerf_tpu.render.occupancy import occupancy_ray_bounds
+        near, far = occupancy_ray_bounds(
+            occupancy, rays_o, rays_d, near, far,
+            eps=cfg.occupancy_termination, n_probe=cfg.termination_probes,
+            interp=cfg.occupancy_interp)
 
     # --- Coarse pass (reference main.py:221-244) ---
     u_strat = (_per_ray_uniform(key, 1, ray_ids, cfg.n_coarse)

@@ -282,6 +282,9 @@ class NerfRenderer:
     def enable_occupancy(self, *, resolution: int = 192, dilate: int = 1,
                          bound: float = 1.5, mode: str = "merge",
                          interp: str = "trilinear",
+                         term: float = 0.0,
+                         n_coarse: int | None = None,
+                         n_fine: int | None = None,
                          require_occupied: bool = False) -> "NerfRenderer":
         """Bake an occupancy grid and serve all renders through it.
 
@@ -298,6 +301,15 @@ class NerfRenderer:
         rendering with a warning instead of installing a sampler with no
         support (every ray would get the ε-uniform fallback CDF). Returns
         self for chaining.
+
+        ``term`` > 0 additionally enables early ray termination /
+        empty-space skip (``occupancy.occupancy_ray_bounds``): each ray's
+        sampling interval is probe-marched down to the region that
+        contributes (transmittance ≥ term past the first occupied voxel).
+        Samples then concentrate where they matter, so ``n_coarse`` /
+        ``n_fine`` can be REDUCED below the training counts at preserved
+        quality — that pair of overrides is the speed dial (serving-only;
+        the checkpoint is untouched).
         """
         if mode not in ("merge", "full"):
             raise ValueError(f"mode must be 'merge' or 'full', got {mode!r}")
@@ -318,8 +330,11 @@ class NerfRenderer:
                   "serving grid-less (the checkpoint's coarse net drives "
                   "the resample)", flush=True)
             return self
-        self.cfg = dataclasses.replace(self.cfg, occupancy_mode=mode,
-                                       occupancy_interp=interp)
+        self.cfg = dataclasses.replace(
+            self.cfg, occupancy_mode=mode, occupancy_interp=interp,
+            occupancy_termination=float(term),
+            n_coarse=self.cfg.n_coarse if n_coarse is None else int(n_coarse),
+            n_fine=self.cfg.n_fine if n_fine is None else int(n_fine))
         self.occupancy = grid
         return self
 
@@ -415,3 +430,23 @@ class NerfRenderer:
             self.focal, self.near, self.far, self.cfg, ndc=self.ndc,
             ndc_variant=self.ndc_variant, chunk=self.chunk, factor=factor,
             on_frame=on_frame, mesh=self.mesh, occupancy=self.occupancy)
+
+    def render_poses_extras(self, poses, factor: int = 0,
+                            keys: tuple[str, ...] = ("rgb",)) -> dict:
+        """Batched :meth:`render_pose_extras`: a dict of stacked arrays
+        (``keys`` → ``[N, H, W, ...]``), frames pipelined on device.
+
+        Used by the HTTP server's device queue to micro-batch concurrent
+        single-pose requests into one pipelined program. In the default
+        deterministic serving mode results are identical to N separate
+        ``render_pose_extras`` calls; in ``--stochastic`` mode the batched
+        path derives per-frame keys (``render_poses_to_frames``) while the
+        single-pose path reuses one key, so resample streams differ.
+        """
+        out = render_poses_to_frames(
+            self._key, self.params, poses, self.height, self.width,
+            self.focal, self.near, self.far, self.cfg, ndc=self.ndc,
+            ndc_variant=self.ndc_variant, chunk=self.chunk, factor=factor,
+            mesh=self.mesh, occupancy=self.occupancy,
+            frame_keys=tuple(keys))
+        return {"rgb": out} if tuple(keys) == ("rgb",) else out

@@ -72,13 +72,20 @@ def write_png(path: str, rgb: np.ndarray) -> None:
 def write_video(path: str, frames: np.ndarray, fps: int = 30) -> str:
     """Write frames ``[N, H, W, 3]`` (float [0,1]) to mp4 at ``fps``.
 
-    Reference parity: 30 fps spiral videos (main.py:404). imageio's ffmpeg
-    backend is not present in this environment, so encoding uses OpenCV's
-    mp4v writer; if that fails the frames are saved as a per-frame PNG
-    directory instead. Returns the path actually written.
+    Reference parity: 30 fps spiral videos written by ``imageio.mimwrite``
+    at ``quality=8`` (main.py:404) — tried FIRST so environments with an
+    ffmpeg backend produce encoder-identical artifacts. This hermetic
+    environment ships imageio without ffmpeg/pyav, so encoding falls back
+    to OpenCV's mp4v writer; if that also fails the frames are saved as a
+    per-frame PNG directory instead. Returns the path actually written.
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     frames8 = to_byte(frames)
+    try:
+        imageio.mimwrite(path, list(frames8), fps=fps, quality=8)
+        return path
+    except Exception:
+        pass  # no ffmpeg backend here — cv2 next (same container format)
     try:
         import cv2
         h, w = frames8.shape[1:3]

@@ -41,6 +41,16 @@ def main():
     ap.add_argument("--bound", type=float, default=1.5)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--frames_per_window", type=int, default=2)
+    ap.add_argument("--arms", nargs="*", default=None,
+                    help="subset of arms to run (default: all). Known: "
+                         "mlp merge full merge_near full_near term "
+                         "full_term")
+    ap.add_argument("--term_eps", type=float, default=1e-3)
+    ap.add_argument("--term_coarse", type=int, default=None,
+                    help="n_coarse for the 'term' arm (default: half the "
+                         "run's)")
+    ap.add_argument("--term_fine", type=int, default=None,
+                    help="n_fine for the term arms (default: half)")
     args = ap.parse_args()
 
     import jax
@@ -87,12 +97,38 @@ def main():
           f"{time.time()-t0:.1f}s; occupied "
           f"{float(np.mean(np.asarray(occ.values) > 0)):.3f}")
 
-    ARMS = ("mlp", "merge", "full")
+    # Arm matrix (round 4): probe interpolation (trilinear default vs the
+    # round-3 nearest probe) × early-termination with reduced sample
+    # budgets. "term" = merge semantics + ray-interval tightening + half
+    # the samples; "full_term" = full mode + tightening + half n_fine.
+    tc = args.term_coarse or max(base_cfg.n_coarse // 2, 8)
+    tf = args.term_fine or max(base_cfg.n_fine // 2, 8)
+    ARM_DEFS = {
+        "mlp": None,
+        "merge": dict(occupancy_mode="merge",
+                      occupancy_interp="trilinear"),
+        "full": dict(occupancy_mode="full", occupancy_interp="trilinear"),
+        "merge_near": dict(occupancy_mode="merge",
+                           occupancy_interp="nearest"),
+        "full_near": dict(occupancy_mode="full",
+                          occupancy_interp="nearest"),
+        "term": dict(occupancy_mode="merge", occupancy_interp="trilinear",
+                     occupancy_termination=args.term_eps,
+                     n_coarse=tc, n_fine=tf),
+        "full_term": dict(occupancy_mode="full",
+                          occupancy_interp="trilinear",
+                          occupancy_termination=args.term_eps,
+                          n_fine=tf),
+    }
+    ARMS = tuple(args.arms) if args.arms else tuple(ARM_DEFS)
+    unknown = set(ARMS) - set(ARM_DEFS)
+    if unknown:
+        raise SystemExit(f"unknown arms: {sorted(unknown)}")
 
     def set_arm(arm: str):
-        r.occupancy = None if arm == "mlp" else occ
-        r.cfg = _dc.replace(base_cfg, occupancy_mode=(
-            arm if arm == "full" else "merge"))
+        over = ARM_DEFS[arm]
+        r.occupancy = None if over is None else occ
+        r.cfg = base_cfg if over is None else _dc.replace(base_cfg, **over)
 
     # Compile + quality pass (all arms).
     qual = {}
@@ -124,16 +160,17 @@ def main():
 
     med = {k: float(np.median(v)) for k, v in times.items()}
     result = {"res": args.res, "dilate": args.dilate,
-              "windows": args.windows}
+              "windows": args.windows,
+              "term": {"eps": args.term_eps, "n_coarse": tc, "n_fine": tf}}
     for arm in ARMS:
         result[f"frame_ms_{arm}"] = round(med[arm] * 1e3, 2)
-        if arm != "mlp":
+        if arm != "mlp" and "mlp" in med:
             result[f"speedup_{arm}"] = round(med["mlp"] / med[arm], 4)
         if qual:
             result[f"psnr_{arm}"] = round(qual[arm], 3)
-    if qual:
-        result["psnr_delta_merge"] = round(qual["merge"] - qual["mlp"], 3)
-        result["psnr_delta_full"] = round(qual["full"] - qual["mlp"], 3)
+            if arm != "mlp" and "mlp" in qual:
+                result[f"psnr_delta_{arm}"] = round(
+                    qual[arm] - qual["mlp"], 3)
     print(json.dumps(result))
 
 

@@ -21,9 +21,11 @@ stand-in (numerically wrong, cost-right):
   optimizer — Adam replaced by optax.identity (grads pass through)
   gradnorm  — optax.global_norm metric replaced by a constant
 
-The share of stage S is (t_full - t_without_S) / t_full. A separate
-``scan10`` arm runs the 10-step lax.scan block (the production dispatch
-path, Trainer steps_per_call=10) to price per-dispatch overhead.
+The share of stage S is (t_full - t_without_S) / t_full. Every variant
+runs as the production 10-step lax.scan block (Trainer steps_per_call=10):
+single-dispatch steps are tunnel-latency-bound (~10 ms of host dispatch
+hides the device time entirely — measured, see build()); a separate
+``single`` arm prices that per-dispatch overhead.
 Interleaved in-process windows per the repo benchmarking rule (CLAUDE.md);
 sync by device-scalar pull. ``--smoke`` validates the harness on tiny CPU
 shapes (the shares are meaningless there; it checks the plumbing only).
@@ -209,13 +211,30 @@ def main():
         np.asarray(jax.tree.leaves(state.params)[0].ravel()[0])
 
     def build(name):
-        """(step_fn, fresh state) with stage `name` replaced (or none)."""
+        """(step_fn, fresh state) with stage `name` replaced (or none).
+
+        Every variant (except the explicit "single" dispatch arm) runs as
+        the production 10-step lax.scan block: a SINGLE-dispatch step
+        through the tunneled runtime costs ~10 ms of host latency that
+        HIDES the ~8 ms of device time entirely (measured round 4: every
+        stage ablation came back ~equal, "other" 69%, because the
+        bottleneck was the per-step dispatch, not the device) — the
+        decomposition is only meaningful on the device-bound scan path.
+        """
         reset_all()
         for mod, attr, fn in patches.get(name, []):
             setattr(mod, attr, fn)
         state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
                                    lr_decay=cfg.lr_decay, mlp=rcfg.mlp)
-        if name == "scan10":
+        if name == "single":
+            step = make_train_step(cfg, mesh)
+
+            def fn(st, i):
+                st, _ = step(st, jax.random.fold_in(jax.random.PRNGKey(1),
+                                                    i),
+                             images, poses, train_idx, False)
+                return st
+        else:
             scan = make_train_scan(cfg, 10, mesh)
 
             def fn(st, i):
@@ -224,19 +243,11 @@ def main():
                              images, poses, train_idx, jnp.int32(i * 10),
                              False)
                 return st
-        else:
-            step = make_train_step(cfg, mesh)
-
-            def fn(st, i):
-                st, _ = step(st, jax.random.fold_in(jax.random.PRNGKey(1),
-                                                    i),
-                             images, poses, train_idx, False)
-                return st
         state = fn(state, 0)  # compile
         sync(state)
         return fn, state
 
-    names = (["full", "scan10"] + list(patches.keys()))
+    names = (["full", "single"] + list(patches.keys()))
     built = {}
     for nm in names:
         built[nm] = build(nm)
@@ -252,22 +263,22 @@ def main():
                 st = fn(st, i)
             sync(st)
             dt = (time.perf_counter() - t0) / args.iters
-            if nm == "scan10":
-                dt /= 10.0  # per-step
+            if nm != "single":
+                dt /= 10.0  # scan block -> per-step
             times[nm].append(dt)
             built[nm] = (fn, st)
 
     med = {nm: float(np.median(times[nm])) for nm in names}
     full = med["full"]
     result = {"n_rays": n_rays, "samples": f"{n_coarse}+{n_coarse+n_fine}",
-              "full_ms": full * 1e3, "rays_per_sec": n_rays / full,
-              "scan10_ms": med["scan10"] * 1e3,
-              "dispatch_ms": (full - med["scan10"]) * 1e3,
+              "full_scan_ms": full * 1e3, "rays_per_sec": n_rays / full,
+              "single_dispatch_ms": med["single"] * 1e3,
+              "dispatch_overhead_ms": (med["single"] - full) * 1e3,
               "stages": {}}
     print(f"step = {n_rays} rays, {n_coarse}+{n_coarse + n_fine} samples; "
-          f"full = {full*1e3:.3f} ms ({n_rays / full:,.0f} rays/s); "
-          f"scan10 = {med['scan10']*1e3:.3f} ms/step "
-          f"(dispatch {max(full - med['scan10'], 0)*1e3:.3f} ms)")
+          f"full (scan10) = {full*1e3:.3f} ms/step ({n_rays / full:,.0f} "
+          f"rays/s); single-dispatch = {med['single']*1e3:.3f} ms "
+          f"(+{max(med['single'] - full, 0)*1e3:.3f} ms tunnel dispatch)")
     attributed = 0.0
     for nm in patches:
         share = (full - med[nm]) / full * 100

@@ -343,3 +343,124 @@ def test_probe_dispatcher_and_render_interp_paths(tiny_params):
     finally:
         occ_mod.probe_sigma = real_probe
     assert seen == ["trilinear", "nearest"]
+
+
+# --- early ray termination / empty-space skip (round 4) ---
+
+def _slab_grid(z0=0.5, z1=1.0, sigma=200.0, res=33, lo=-2.0, hi=2.0):
+    """Grid occupied only in the z-slab [z0, z1] (xy-infinite)."""
+    ax = np.linspace(lo, hi, res, dtype=np.float32)
+    vals = np.zeros((res, res, res), np.float32)
+    zmask = (ax >= z0) & (ax <= z1)
+    vals[:, :, zmask] = sigma
+    inv = (res - 1) / (hi - lo)
+    return OccupancyGrid(values=jnp.asarray(vals),
+                         bbox_min=jnp.asarray([lo] * 3, jnp.float32),
+                         inv_spacing=jnp.asarray([inv] * 3, jnp.float32))
+
+
+def test_ray_bounds_skip_and_terminate():
+    """+z rays through an opaque slab: near moves to just before slab
+    entry, far to just after the transmittance collapse inside it."""
+    from cvnerf_tpu.render.occupancy import occupancy_ray_bounds
+    grid = _slab_grid()
+    n = 8
+    rays_o = jnp.asarray(np.tile([0.1, -0.2, -2.0], (n, 1)), jnp.float32)
+    rays_d = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n, 1)), jnp.float32)
+    near = jnp.full((n,), 0.0)
+    far = jnp.full((n,), 4.0)
+    nn, nf = occupancy_ray_bounds(grid, rays_o, rays_d, near, far,
+                                  eps=1e-3, n_probe=128)
+    nn, nf = np.asarray(nn), np.asarray(nf)
+    # slab entry at t = 2.5 (z = -2 + t = 0.5); lattice spacing 0.125 and
+    # probe step ~0.0315 give the conservative margins
+    assert (nn > 2.0).all() and (nn <= 2.5).all(), nn
+    # sigma=200: transmittance collapses within a few probe steps of entry
+    assert (nf > nn).all() and (nf < 3.0).all(), nf
+
+
+def test_ray_bounds_empty_and_transparent():
+    from cvnerf_tpu.render.occupancy import occupancy_ray_bounds
+    n = 4
+    rays_o = jnp.zeros((n, 3))
+    rays_d = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n, 1)), jnp.float32)
+    near = jnp.full((n,), 0.5)
+    far = jnp.full((n,), 3.0)
+
+    # empty grid: both bounds unchanged
+    empty = OccupancyGrid(values=jnp.zeros((9, 9, 9)),
+                          bbox_min=jnp.asarray([-2.0] * 3),
+                          inv_spacing=jnp.asarray([2.0] * 3))
+    nn, nf = occupancy_ray_bounds(empty, rays_o, rays_d, near, far)
+    np.testing.assert_allclose(np.asarray(nn), 0.5)
+    np.testing.assert_allclose(np.asarray(nf), 3.0)
+
+    # transparent slab (tiny sigma): near tightens, far stays. Start the
+    # rays BELOW the slab (z = -1) so a leading empty region exists.
+    grid = _slab_grid(sigma=0.05)
+    rays_lo = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    nn, nf = occupancy_ray_bounds(grid, rays_lo, rays_d, near, far,
+                                  eps=1e-3)
+    assert (np.asarray(nn) > 0.5).all()        # empty-space skip active
+    np.testing.assert_allclose(np.asarray(nf), 3.0)  # never terminates
+
+    # rays that miss the slab's z-range entirely (pointing -z from below
+    # the box): unchanged
+    rays_o2 = jnp.asarray(np.tile([0.0, 0.0, -1.5], (n, 1)), jnp.float32)
+    rays_d2 = jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32)
+    nn, nf = occupancy_ray_bounds(_slab_grid(), rays_o2, rays_d2, near, far)
+    np.testing.assert_allclose(np.asarray(nn), 0.5)
+    np.testing.assert_allclose(np.asarray(nf), 3.0)
+
+
+def test_termination_render_runs_and_is_chunk_invariant(tiny_params):
+    """render_rays with occupancy_termination on: finite output, bitwise
+    chunk invariance (bounds are per-ray, RNG is per-ray)."""
+    import dataclasses
+    grid = _slab_grid(sigma=50.0)
+    rng = np.random.RandomState(1)
+    n = 16
+    rays_o = jnp.asarray(np.tile([0.0, 0.0, -2.0], (n, 1)), jnp.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    d[:, 2] = 1.0
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    cfg = RenderConfig(n_coarse=8, n_fine=8, perturb=False, mlp=TINY,
+                       occupancy_mode="merge", occupancy_termination=1e-3,
+                       termination_probes=64)
+    key = jax.random.PRNGKey(7)
+    full = render_rays(key, tiny_params, rays_o, rays_d, rays_d,
+                       jnp.full((n,), 0.1), jnp.full((n,), 4.0), cfg,
+                       occupancy=grid)
+    assert np.isfinite(np.asarray(full["rgb"])).all()
+    chunked = render_rays_chunked(key, tiny_params, rays_o, rays_d, rays_d,
+                                  0.1, 4.0, cfg, chunk=4, occupancy=grid)
+    np.testing.assert_array_equal(np.asarray(full["rgb"]),
+                                  np.asarray(chunked["rgb"]))
+
+
+def test_serve_termination_flags(tmp_path, tiny_params):
+    """enable_occupancy(term=..., n_coarse=..., n_fine=...) installs the
+    serving overrides; the server CLI rejects term without --occupancy."""
+    from cvnerf_tpu.render.renderer import RenderConfig as RC
+    from cvnerf_tpu.serve import NerfRenderer
+    from cvnerf_tpu.train.checkpoint import save_checkpoint
+    from cvnerf_tpu.train.state import TrainState, create_train_state
+    import cvnerf_tpu.server as server
+    d = str(tmp_path / "ckpt")
+    state = create_train_state(jax.random.PRNGKey(0), mlp=TINY)
+    save_checkpoint(d, TrainState(params=state.params,
+                                  opt_state=state.opt_state, step=1))
+    r = NerfRenderer(d, height=10, width=12, focal=10.0, near=0.5, far=4.0,
+                     cfg=RC(n_coarse=8, n_fine=8, mlp=TINY), chunk=120,
+                     use_mesh=False)
+    r.enable_occupancy(resolution=8, bound=2.0, mode="merge",
+                       term=1e-3, n_coarse=4, n_fine=4)
+    assert r.cfg.occupancy_termination == 1e-3
+    assert (r.cfg.n_coarse, r.cfg.n_fine) == (4, 4)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 4.0
+    img = r.render_pose(pose)
+    assert np.isfinite(img).all() and img.shape == (10, 12, 3)
+    np.testing.assert_array_equal(img, r.render_pose(pose))
+    with pytest.raises(SystemExit, match="--occupancy"):
+        server.main(["--run", str(tmp_path), "--occ_term", "0.001"])
