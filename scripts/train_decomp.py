@@ -22,10 +22,14 @@ stand-in (numerically wrong, cost-right):
   gradnorm  — optax.global_norm metric replaced by a constant
 
 The share of stage S is (t_full - t_without_S) / t_full. Every variant
-runs as the production 10-step lax.scan block (Trainer steps_per_call=10):
-single-dispatch steps are tunnel-latency-bound (~10 ms of host dispatch
-hides the device time entirely — measured, see build()); a separate
-``single`` arm prices that per-dispatch overhead.
+runs as a 100-step lax.scan block (``--block``): per-CALL tunnel latency
+is ~87 ms round-trip on this target, so any dispatch whose device time is
+below that floor measures AT the floor — at the production block of 10
+steps, a kernel-ablated step (the MLP deleted outright!) measured the
+same 8.69 ms/step as the full program, and every stage share came back
+~0% ("other" 99.4%). Only a block long enough that device time >> RTT
+(100 steps ≈ 0.86 s/call) exposes the device-side composition. A
+separate ``single`` arm prices the per-dispatch overhead explicitly.
 Interleaved in-process windows per the repo benchmarking rule (CLAUDE.md);
 sync by device-scalar pull. ``--smoke`` validates the harness on tiny CPU
 shapes (the shares are meaningless there; it checks the plumbing only).
@@ -47,7 +51,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=300,
+                    help="train steps per measurement window")
+    ap.add_argument("--block", type=int, default=100,
+                    help="lax.scan block length (device time per call "
+                         "must dominate the ~87 ms tunnel round-trip)")
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run: harness check only")
@@ -83,7 +91,8 @@ def main():
         n_rays = 64
         n_coarse, n_fine = 8, 8
         dtype = jnp.float32
-        args.iters = min(args.iters, 3)
+        args.block = min(args.block, 3)
+        args.iters = min(args.iters, 6)
         args.windows = min(args.windows, 2)
     else:
         # bench.py's exact headline workload (configs/lego.txt shape).
@@ -214,12 +223,13 @@ def main():
         """(step_fn, fresh state) with stage `name` replaced (or none).
 
         Every variant (except the explicit "single" dispatch arm) runs as
-        the production 10-step lax.scan block: a SINGLE-dispatch step
-        through the tunneled runtime costs ~10 ms of host latency that
-        HIDES the ~8 ms of device time entirely (measured round 4: every
-        stage ablation came back ~equal, "other" 69%, because the
-        bottleneck was the per-step dispatch, not the device) — the
-        decomposition is only meaningful on the device-bound scan path.
+        an ``args.block``-step lax.scan block. The block must be long
+        enough that DEVICE time dominates the ~87 ms per-call tunnel
+        round-trip: at block=10 (87 ms device for the full program —
+        exactly at the floor) a kernel-ablated variant with the MLP
+        deleted outright measured the SAME 8.69 ms/step as the full
+        program, flattening every share to ~0%. At block=100 the full
+        program is ~0.86 s/call and ablations are visible.
         """
         reset_all()
         for mod, attr, fn in patches.get(name, []):
@@ -235,13 +245,13 @@ def main():
                              images, poses, train_idx, False)
                 return st
         else:
-            scan = make_train_scan(cfg, 10, mesh)
+            scan = make_train_scan(cfg, args.block, mesh)
 
             def fn(st, i):
                 st, _ = scan(st, jax.random.fold_in(jax.random.PRNGKey(1),
                                                     i),
-                             images, poses, train_idx, jnp.int32(i * 10),
-                             False)
+                             images, poses, train_idx,
+                             jnp.int32(i * args.block), False)
                 return st
         state = fn(state, 0)  # compile
         sync(state)
@@ -258,13 +268,15 @@ def main():
     for w in range(args.windows):
         for nm in names:
             fn, st = built[nm]
+            n_calls = (min(args.iters, 30) if nm == "single"
+                       else max(args.iters // args.block, 2))
             t0 = time.perf_counter()
-            for i in range(1, args.iters + 1):
+            for i in range(1, n_calls + 1):
                 st = fn(st, i)
             sync(st)
-            dt = (time.perf_counter() - t0) / args.iters
+            dt = (time.perf_counter() - t0) / n_calls
             if nm != "single":
-                dt /= 10.0  # scan block -> per-step
+                dt /= args.block  # scan block -> per-step
             times[nm].append(dt)
             built[nm] = (fn, st)
 
@@ -276,7 +288,8 @@ def main():
               "dispatch_overhead_ms": (med["single"] - full) * 1e3,
               "stages": {}}
     print(f"step = {n_rays} rays, {n_coarse}+{n_coarse + n_fine} samples; "
-          f"full (scan10) = {full*1e3:.3f} ms/step ({n_rays / full:,.0f} "
+          f"full (scan{args.block}) = {full*1e3:.3f} ms/step "
+          f"({n_rays / full:,.0f} "
           f"rays/s); single-dispatch = {med['single']*1e3:.3f} ms "
           f"(+{max(med['single'] - full, 0)*1e3:.3f} ms tunnel dispatch)")
     attributed = 0.0
