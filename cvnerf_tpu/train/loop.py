@@ -78,6 +78,20 @@ class TrainConfig:
     # scenes. Precrop warm-up steps keep single-image center-crop
     # semantics (a center crop is per-image by construction).
     ray_batching: bool = False
+    # Fuse the per-leaf gradient pmean into ONE collective over the
+    # ravelled gradient vector (+2 packed scalars for loss/mse). Same
+    # math — pmean is elementwise, flattening only changes layout — but
+    # NOT bitwise: the ravelled layout moves XLA's backward fusion
+    # boundaries (reassociated fp32 sums, ~1 ulp/step measured even on a
+    # 1-device mesh; multi-device adds all-reduce association order —
+    # tests/test_sharding.py pins the tolerance). Measured on the real
+    # chip (scripts/scan_overhead_probe.py, round 4): the per-leaf pmean
+    # costs NOTHING on the full program — XLA hides the ~50 async
+    # collective launches under the 8.7 ms of kernel compute — while the
+    # ravel/concat adds real copies (8.70 → 9.41 ms/step). Default OFF;
+    # the flag exists for multi-chip tuning, where one large all-reduce
+    # can beat 50 small ones on ICI once collectives are no longer free.
+    fused_allreduce: bool = False
     render: RenderConfig = RenderConfig()
 
 
@@ -184,9 +198,21 @@ def _build_step_core(cfg: TrainConfig,
         (loss, mse_fine), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, occupancy, key, rays_o, rays_d,
                                    viewdirs, target, ray_ids, noise_scale)
-        loss = jax.lax.pmean(loss, RAY_AXIS)
-        mse_fine = jax.lax.pmean(mse_fine, RAY_AXIS)
-        grads = jax.lax.pmean(grads, RAY_AXIS)
+        if cfg.fused_allreduce:
+            # One collective for everything: ravel the grad tree and pack
+            # the two scalars onto the end — ~50 all_reduce launches
+            # become 1 (numerics note: TrainConfig.fused_allreduce).
+            from jax.flatten_util import ravel_pytree
+            flat, unravel = ravel_pytree(grads)
+            packed = jax.lax.pmean(
+                jnp.concatenate([flat, jnp.stack([loss, mse_fine])]),
+                RAY_AXIS)
+            grads = unravel(packed[:-2])
+            loss, mse_fine = packed[-2], packed[-1]
+        else:
+            loss = jax.lax.pmean(loss, RAY_AXIS)
+            mse_fine = jax.lax.pmean(mse_fine, RAY_AXIS)
+            grads = jax.lax.pmean(grads, RAY_AXIS)
         return loss, mse_fine, grads
 
     def step_fn(state: TrainState, occupancy, key: jax.Array,

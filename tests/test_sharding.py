@@ -143,3 +143,54 @@ def test_render_image_on_mesh_devices():
                        2.0, 6.0, cfg, chunk=64)
     assert out["rgb"].shape == (16, 16, 3)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_fused_allreduce_matches_per_leaf():
+    """TrainConfig.fused_allreduce ravels the grad tree into ONE pmean
+    (+2 packed scalars) — a launch-count optimization (round 4: ~50
+    all_reduce launches dominated the tunneled single-chip step,
+    scripts/scan_overhead_probe.py). Contract, measured both ways here:
+
+    Contract: same math, equivalent to fp32 rounding. Bitwise equality
+    does NOT hold even on a 1-device mesh — the ravelled layout moves
+    XLA's fusion boundaries in the backward, reassociating fp32 sums
+    (measured: 1-ulp drift after 3 steps, 1-device; multi-device adds
+    all-reduce association order on top).
+    """
+    cfg = _cfg()
+    images, poses = _scene()
+
+    def run(fused, mesh, steps):
+        state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                                   lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+        step = make_train_step(
+            dataclasses.replace(cfg, fused_allreduce=fused), mesh)
+        key = jax.random.PRNGKey(1)
+        metrics = None
+        for i in range(steps):
+            state, metrics = step(state, jax.random.fold_in(key, i),
+                                  jnp.asarray(images), jnp.asarray(poses),
+                                  jnp.arange(2, dtype=jnp.int32), False)
+        return state, metrics
+
+    # 1-device mesh.
+    one = make_mesh(jax.devices()[:1])
+    s_fused, m_fused = run(True, one, 3)
+    s_leaf, m_leaf = run(False, one, 3)
+    np.testing.assert_allclose(np.asarray(m_fused["loss"]),
+                               np.asarray(m_leaf["loss"]), rtol=1e-5)
+    for x, y in zip(jax.tree.leaves(s_fused.params),
+                    jax.tree.leaves(s_leaf.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
+
+    # 8-device mesh.
+    mesh = make_mesh()
+    s_fused, m_fused = run(True, mesh, 3)
+    s_leaf, m_leaf = run(False, mesh, 3)
+    np.testing.assert_allclose(np.asarray(m_fused["loss"]),
+                               np.asarray(m_leaf["loss"]), rtol=1e-5)
+    for x, y in zip(jax.tree.leaves(s_fused.params),
+                    jax.tree.leaves(s_leaf.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-6)
