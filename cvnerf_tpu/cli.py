@@ -103,7 +103,7 @@ def main(argv=None):
         # was trained/recorded with. Legacy occ payloads predate the interp
         # field and were nearest-vertex.
         args.occ_interp = (recorded_occ.get("interp", "nearest")
-                           if recorded_occ is not None else "trilinear")
+                           if recorded_occ is not None else "nearest")
     # A re-invocation that omits --occ_train on a run dir whose checkpoints
     # WERE occ-trained (untrained coarse net) must not silently downgrade
     # the serving metadata: the rewritten scene.json would serve those

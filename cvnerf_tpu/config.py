@@ -184,10 +184,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "path: --occupancy, --occ_train). Unset: the run "
                         "dir's recorded probe if it has one (sampling "
                         "semantics stick to the checkpoint), else "
-                        "'trilinear' (continuous-in-depth probe CDF). "
-                        "'nearest' is the round-3 piecewise-constant "
-                        "probe (the measured full-mode quality cliff on "
-                        "real content)")
+                        "'nearest' (the pinned production probe). "
+                        "'trilinear' (continuous-in-depth probe CDF) is "
+                        "opt-in: measured ~7x probe cost for <=0.06 dB "
+                        "(BASELINE.md round-4 matrix)")
     p.add_argument("--occupancy_res", type=int, default=192,
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,

@@ -217,16 +217,18 @@ def occupied_fraction(grid: OccupancyGrid) -> float:
 
 
 def probe_sigma(grid: OccupancyGrid, points: jnp.ndarray,
-                interp: str = "trilinear") -> jnp.ndarray:
-    """Probe dispatcher: ``"trilinear"`` (default) or ``"nearest"``.
+                interp: str = "nearest") -> jnp.ndarray:
+    """Probe dispatcher: ``"nearest"`` (production default) or
+    ``"trilinear"``.
 
-    Trilinear is the production default: the nearest-vertex probe's
-    piecewise-constant CDF was root-caused (ROADMAP item 25) as full-mode
-    occ-train's quality cliff on real content — sample placement snaps to
-    lattice cells, so geometry between vertices gets systematically
-    mis-weighted resamples. Interpolation makes the probe CDF continuous
-    in depth for ~3 extra row-gathers per point (measured costs in
-    BASELINE.md). ``"nearest"`` reproduces the round-3 pinned numbers.
+    Trilinear was built to fix the nearest probe's piecewise-constant CDF
+    (ROADMAP item 25: full-mode occ-train's real-content quality cliff —
+    sample placement snaps to lattice cells). MEASURED round 4
+    (occupancy_ab.py, ref_lego@3k, res 192): the 4-z-row gather traffic
+    costs ~7x the nearest probe and inverts every occupancy speedup
+    (merge 1.13x -> 0.50x, full 1.64x -> 0.58x) for +0.001 dB (merge) /
+    +0.06 dB (full) — so interpolation stays OPT-IN and ``"nearest"``
+    (the round-3 pinned behavior) is the default everywhere.
     """
     if interp == "trilinear":
         return occupancy_sigma_trilinear(grid, points)
@@ -320,7 +322,7 @@ def occupancy_ray_bounds(grid: OccupancyGrid,
                          far: jnp.ndarray,
                          eps: float = 1e-3,
                          n_probe: int = 128,
-                         interp: str = "trilinear"
+                         interp: str = "nearest"
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tighten per-ray [near, far] from the baked grid: empty-space skip
     at the front, transmittance termination at the back.

@@ -54,11 +54,15 @@ class RenderConfig:
     # the merge (n_fine evals only — half the MLP work of the reference
     # pipeline at n_coarse=64/n_fine=128).
     occupancy_mode: str = "merge"
-    # Occupancy probe interpolation: "trilinear" (continuous-in-depth probe
-    # CDF; production default) or "nearest" (round-3 behavior — the
-    # piecewise-constant CDF measured as full-mode's real-content quality
-    # cliff, ROADMAP item 25). Only active when a grid is passed.
-    occupancy_interp: str = "trilinear"
+    # Occupancy probe interpolation: "nearest" (production default) or
+    # "trilinear" (continuous-in-depth probe CDF). Trilinear was built to
+    # fix full-mode's piecewise-constant-CDF quality cliff (ROADMAP item
+    # 25) but MEASURED as a serving regression on real content (round 4,
+    # scripts/occupancy_ab.py on ref_lego@3k): the 4-z-row gather traffic
+    # costs ~7x the nearest probe — merge mode 1.13x -> 0.50x, full mode
+    # 1.64x -> 0.58x — for +0.001 dB (merge) / +0.06 dB (full). Opt-in
+    # only. Only active when a grid is passed.
+    occupancy_interp: str = "nearest"
     # Early ray termination / empty-space skip (serving-only, needs a
     # grid): tighten each ray's [near, far] by probe-marching the grid —
     # near moves to the first occupied probe, far to where probe
@@ -227,7 +231,7 @@ def render_rays(key: jax.Array,
         near, far = occupancy_ray_bounds(
             occupancy, rays_o, rays_d, near, far,
             eps=cfg.occupancy_termination, n_probe=cfg.termination_probes,
-            interp=cfg.occupancy_interp)
+            interp="nearest")
 
     # --- Coarse pass (reference main.py:221-244) ---
     u_strat = (_per_ray_uniform(key, 1, ray_ids, cfg.n_coarse)

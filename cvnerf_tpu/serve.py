@@ -53,7 +53,7 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          occ_res: int = 192,
                          occ_bound: float = 1.5,
                          occ_mode: str | None = None,
-                         occ_interp: str = "trilinear") -> str:
+                         occ_interp: str = "nearest") -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -281,7 +281,7 @@ class NerfRenderer:
 
     def enable_occupancy(self, *, resolution: int = 192, dilate: int = 1,
                          bound: float = 1.5, mode: str = "merge",
-                         interp: str = "trilinear",
+                         interp: str = "nearest",
                          term: float = 0.0,
                          n_coarse: int | None = None,
                          n_fine: int | None = None,

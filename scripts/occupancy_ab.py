@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--frames_per_window", type=int, default=2)
     ap.add_argument("--arms", nargs="*", default=None,
                     help="subset of arms to run (default: all). Known: "
-                         "mlp merge full merge_near full_near term "
+                         "mlp merge full merge_tri full_tri term "
                          "full_term")
     ap.add_argument("--term_eps", type=float, default=1e-3)
     ap.add_argument("--term_coarse", type=int, default=None,
@@ -97,26 +97,28 @@ def main():
           f"{time.time()-t0:.1f}s; occupied "
           f"{float(np.mean(np.asarray(occ.values) > 0)):.3f}")
 
-    # Arm matrix (round 4): probe interpolation (trilinear default vs the
-    # round-3 nearest probe) × early-termination with reduced sample
-    # budgets. "term" = merge semantics + ray-interval tightening + half
-    # the samples; "full_term" = full mode + tightening + half n_fine.
+    # Arm matrix (round 4): probe interpolation (nearest = production
+    # default; trilinear = the opt-in continuous CDF, measured ~7x probe
+    # cost) × early-termination with reduced sample budgets. "term" =
+    # merge semantics + ray-interval tightening + half the samples;
+    # "full_term" = full mode + tightening + half n_fine. The
+    # termination march itself always probes nearest (renderer.py).
     tc = args.term_coarse or max(base_cfg.n_coarse // 2, 8)
     tf = args.term_fine or max(base_cfg.n_fine // 2, 8)
     ARM_DEFS = {
         "mlp": None,
         "merge": dict(occupancy_mode="merge",
-                      occupancy_interp="trilinear"),
-        "full": dict(occupancy_mode="full", occupancy_interp="trilinear"),
-        "merge_near": dict(occupancy_mode="merge",
-                           occupancy_interp="nearest"),
-        "full_near": dict(occupancy_mode="full",
-                          occupancy_interp="nearest"),
-        "term": dict(occupancy_mode="merge", occupancy_interp="trilinear",
+                      occupancy_interp="nearest"),
+        "full": dict(occupancy_mode="full", occupancy_interp="nearest"),
+        "merge_tri": dict(occupancy_mode="merge",
+                          occupancy_interp="trilinear"),
+        "full_tri": dict(occupancy_mode="full",
+                         occupancy_interp="trilinear"),
+        "term": dict(occupancy_mode="merge", occupancy_interp="nearest",
                      occupancy_termination=args.term_eps,
                      n_coarse=tc, n_fine=tf),
         "full_term": dict(occupancy_mode="full",
-                          occupancy_interp="trilinear",
+                          occupancy_interp="nearest",
                           occupancy_termination=args.term_eps,
                           n_fine=tf),
     }
