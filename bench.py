@@ -47,7 +47,7 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench(train_steps: int = 200, warmup: int = 20,
+def bench(train_steps: int = 500, warmup: int = 20,
           smoke: bool = False) -> dict:
     """Full benchmark on the ambient platform; ``smoke=True`` runs a tiny
     CPU-only workload (driver-contract check: same code path, minutes → s)."""
@@ -204,7 +204,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
                   file=_sys.stderr, flush=True)
     train_times = {name: [] for name in trainers}
     final = None
-    for _ in range(1 if smoke else 3):
+    for _ in range(1 if smoke else 5):
         for name, t in list(trainers.items()):  # alternate on/off windows
             if name not in trainers:
                 continue
@@ -228,6 +228,12 @@ def bench(train_steps: int = 200, warmup: int = 20,
                 final = out
     train_dt = median(train_times["on"])
     train_rays_sec = train_steps * cfg.n_rays / train_dt
+    # Best window alongside the median: the tunneled runtime shows ~±10%
+    # cross-process dispatch jitter (CLAUDE.md), and in-process
+    # delta-ablation harnesses (scripts/train_decomp.py) consistently
+    # measure the same program faster than a bad-regime bench window —
+    # the best window is the least-contended view of device throughput.
+    train_rays_sec_best = train_steps * cfg.n_rays / min(train_times["on"])
 
     # --- render throughput (eval path), same interleaving ---
     rcfg_test = rcfg.eval_mode()
@@ -238,7 +244,11 @@ def bench(train_steps: int = 200, warmup: int = 20,
                            focal, c2w, 2.0, 6.0, variant_cfg,
                            chunk=min(4096, H * W),
                            mesh=mesh if n_chips > 1 else None)
-        np.asarray(out["rgb"])
+        # Sync with a device-side SCALAR pull: np.asarray on the full
+        # [400,400,3] frame moves ~1.9 MB through the ~17 MB/s tunnel
+        # (~110 ms) INSIDE the timed window — the same measurement
+        # artifact ROADMAP item 23 fixed in ici_scaling_bench.py.
+        np.asarray(out["rgb"].ravel()[0])
         return out
 
     render_cfgs = {"on": rcfg_test}
@@ -246,7 +256,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
         render_cfgs["off"] = rcfg_off.eval_mode()
     for c in render_cfgs.values():             # compile ALL first
         do_render(c)
-    n_render = 4
+    n_render = 6
     frame_times = {name: [] for name in render_cfgs}
     for _ in range(n_render):
         for name, c in render_cfgs.items():    # alternate on/off frames
@@ -263,6 +273,7 @@ def bench(train_steps: int = 200, warmup: int = 20,
         "vs_baseline": 0.0,
         "render_rays_per_sec_per_chip": round(render_rays_sec / n_chips, 1),
         "train_step_ms": round(1000 * train_dt / train_steps, 2),
+        "train_rays_per_sec_best_window": round(train_rays_sec_best, 1),
         f"frame_{H}x{W}_ms": round(1000 * render_dt, 1),
         "n_chips": n_chips,
         "final_loss": round(float(final["loss"]), 5),
