@@ -154,7 +154,10 @@ def main(argv=None) -> None:
               flush=True)
 
     poses_arr = np.asarray([scene.poses[int(i)] for i in idx], np.float32)
-    r.render_video(poses_arr, on_frame=score_frame)
+    # collect=False: each frame is scored and dropped — a 200-view
+    # 800x800 split stacked would hold ~1.5 GB of host memory for an
+    # array nobody reads.
+    r.render_video(poses_arr, on_frame=score_frame, collect=False)
 
     report = {
         "run": os.path.abspath(args.run),

@@ -127,7 +127,8 @@ def render_poses_to_frames(key: jax.Array,
                            on_frame: Callable[[int, np.ndarray], None] | None = None,
                            mesh=None,
                            frame_keys: tuple[str, ...] = ("rgb",),
-                           occupancy=None):
+                           occupancy=None,
+                           collect: bool = True):
     """Render a pose sequence to ``[N, H, W, 3]`` uint8-ready float frames.
 
     Reference parity: ``render_full`` (``main.py:102-124``), including the
@@ -146,7 +147,16 @@ def render_poses_to_frames(key: jax.Array,
     ``on_frame`` receives RGB frames only — it exists for PNG/preview
     writers. Combining it with a ``frame_keys`` that omits ``"rgb"`` is
     rejected (the callback would silently never fire).
+
+    ``collect=False`` drops each frame after ``on_frame`` consumes it and
+    returns None — streaming consumers (cvnerf-eval over a 200-view
+    800×800 split ≈ 1.5 GB if stacked) keep one frame of host memory
+    instead of the whole sequence. Requires ``on_frame`` (a no-collect,
+    no-callback render would do work nobody observes).
     """
+    if not collect and on_frame is None:
+        raise ValueError("collect=False requires on_frame (nothing would "
+                         "observe the frames)")
     if on_frame is not None and "rgb" not in frame_keys:
         raise ValueError(
             "on_frame receives rgb frames; include 'rgb' in frame_keys "
@@ -170,7 +180,8 @@ def render_poses_to_frames(key: jax.Array,
     def drain(entry):
         i, out = entry
         vals = {k: np.asarray(out[k]) for k in frame_keys}  # blocks frame i
-        frames[i] = vals
+        if collect:
+            frames[i] = vals
         if on_frame is not None and "rgb" in vals:
             on_frame(i, vals["rgb"])
 
@@ -186,6 +197,8 @@ def render_poses_to_frames(key: jax.Array,
 
     while pending:
         drain(pending.pop(0))
+    if not collect:
+        return None
     if frame_keys == ("rgb",):
         return np.stack([f["rgb"] for f in frames], 0)
     return {k: np.stack([f[k] for f in frames], 0) for k in frame_keys}

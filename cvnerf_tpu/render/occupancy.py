@@ -322,7 +322,6 @@ def occupancy_ray_bounds(grid: OccupancyGrid,
                          far: jnp.ndarray,
                          eps: float = 1e-3,
                          n_probe: int = 128,
-                         interp: str = "nearest"
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tighten per-ray [near, far] from the baked grid: empty-space skip
     at the front, transmittance termination at the back.
@@ -361,7 +360,11 @@ def occupancy_ray_bounds(grid: OccupancyGrid,
     t = near[:, None] + step[:, None] * jnp.arange(
         n_probe, dtype=jnp.float32)[None, :]                 # [n, K]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
-    sigma = probe_sigma(grid, pts, interp)                   # [n, K]
+    # Always the NEAREST probe: the march is a conservative occupied/
+    # transmittance test whose margin is the bake's dilation + one probe
+    # step; the trilinear probe's measured ~7x gather cost would exceed
+    # the MLP work the tightening saves (BASELINE.md round-4 matrix).
+    sigma = probe_sigma(grid, pts, "nearest")                # [n, K]
 
     # Compositor math at the probe resolution (uniform deltas; the last
     # probe's terminal delta is irrelevant to the indices we extract).

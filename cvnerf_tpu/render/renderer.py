@@ -230,8 +230,7 @@ def render_rays(key: jax.Array,
         from cvnerf_tpu.render.occupancy import occupancy_ray_bounds
         near, far = occupancy_ray_bounds(
             occupancy, rays_o, rays_d, near, far,
-            eps=cfg.occupancy_termination, n_probe=cfg.termination_probes,
-            interp="nearest")
+            eps=cfg.occupancy_termination, n_probe=cfg.termination_probes)
 
     # --- Coarse pass (reference main.py:221-244) ---
     u_strat = (_per_ray_uniform(key, 1, ray_ids, cfg.n_coarse)

@@ -141,6 +141,14 @@ class NerfRenderer:
         if deterministic:
             self.cfg = dataclasses.replace(self.cfg,
                                            deterministic_resample=True)
+        # Pristine sample budget: enable_occupancy's n_coarse/n_fine
+        # overrides reset to THESE when omitted, so a re-enable without
+        # overrides restores the checkpoint's full budget instead of
+        # silently keeping a previous call's reduced one (while term/
+        # interp/mode reset to their parameter defaults — asymmetric
+        # stickiness would pair a reduced budget with termination off,
+        # a silent multi-dB quality loss).
+        self._base_samples = (self.cfg.n_coarse, self.cfg.n_fine)
         self.height, self.width, self.focal = int(height), int(width), focal
         self.near, self.far = float(near), float(far)
         self.ndc, self.ndc_variant = ndc, ndc_variant
@@ -330,11 +338,12 @@ class NerfRenderer:
                   "serving grid-less (the checkpoint's coarse net drives "
                   "the resample)", flush=True)
             return self
+        base_c, base_f = self._base_samples
         self.cfg = dataclasses.replace(
             self.cfg, occupancy_mode=mode, occupancy_interp=interp,
             occupancy_termination=float(term),
-            n_coarse=self.cfg.n_coarse if n_coarse is None else int(n_coarse),
-            n_fine=self.cfg.n_fine if n_fine is None else int(n_fine))
+            n_coarse=base_c if n_coarse is None else int(n_coarse),
+            n_fine=base_f if n_fine is None else int(n_fine))
         self.occupancy = grid
         return self
 
@@ -423,13 +432,18 @@ class NerfRenderer:
                             compute_dtype=self.cfg.compute_dtype, keep=keep)
 
     def render_video(self, poses, factor: int = 0,
-                     on_frame=None) -> np.ndarray:
-        """Render a pose sequence to ``[N, H, W, 3]``, pipelined."""
+                     on_frame=None, collect: bool = True) -> np.ndarray:
+        """Render a pose sequence to ``[N, H, W, 3]``, pipelined.
+
+        ``collect=False`` (requires ``on_frame``) streams: each frame is
+        dropped once the callback consumed it and None is returned —
+        constant host memory for long/high-res sequences."""
         return render_poses_to_frames(
             self._key, self.params, poses, self.height, self.width,
             self.focal, self.near, self.far, self.cfg, ndc=self.ndc,
             ndc_variant=self.ndc_variant, chunk=self.chunk, factor=factor,
-            on_frame=on_frame, mesh=self.mesh, occupancy=self.occupancy)
+            on_frame=on_frame, mesh=self.mesh, occupancy=self.occupancy,
+            collect=collect)
 
     def render_poses_extras(self, poses, factor: int = 0,
                             keys: tuple[str, ...] = ("rgb",)) -> dict:

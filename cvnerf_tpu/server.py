@@ -45,6 +45,7 @@ import collections
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -94,9 +95,27 @@ class DeviceQueue:
         self.batch_max = max(1, int(batch_max))
         self._dq: collections.deque = collections.deque()
         self._cv = threading.Condition()
+        self._closed = False
         self._worker_thread = threading.Thread(
             target=self._worker, daemon=True, name="cvnerf-device-queue")
         self._worker_thread.start()
+
+    def close(self, join_timeout: float = 5.0) -> None:
+        """Stop the worker thread (idempotent). Queued jobs are failed
+        with RenderTimeoutError so no waiter hangs. Without this, every
+        DeviceQueue pins a live thread plus its renderer (params, grid,
+        compiled programs) forever — a real leak in processes that build
+        servers repeatedly (test suites, notebook reloads)."""
+        with self._cv:
+            if self._closed:
+                return
+            self._closed = True
+            for j in self._dq:
+                j["err"] = RenderTimeoutError("device queue closed")
+                j["ev"].set()
+            self._dq.clear()
+            self._cv.notify_all()
+        self._worker_thread.join(join_timeout)
 
     # -- client side ------------------------------------------------------
     def submit_async(self, c2w, factor: int, keys: tuple[str, ...],
@@ -106,14 +125,24 @@ class DeviceQueue:
                "factor": int(factor), "keys": tuple(keys),
                "ev": threading.Event(), "out": None, "err": None,
                "abandoned": False}
+        # Absolute deadline: cv.wait wakes on EVERY notify_all (each freed
+        # slot wakes all blocked senders), so re-waiting with the full
+        # timeout would let a loser of the re-check race block unboundedly.
+        deadline = (None if timeout is None
+                    else time.monotonic() + float(timeout))
         with self._cv:
-            while len(self._dq) >= self.maxsize:
+            while len(self._dq) >= self.maxsize or self._closed:
+                if self._closed:
+                    raise RenderTimeoutError("device queue closed")
                 if not block:
                     raise QueueFullError(
                         f"device queue full ({self.maxsize} jobs)")
-                if not self._cv.wait(timeout=timeout):
+                remaining = (None if deadline is None
+                             else deadline - time.monotonic())
+                if remaining is not None and remaining <= 0:
                     raise RenderTimeoutError(
                         "timed out waiting for queue space")
+                self._cv.wait(timeout=remaining)
             self._dq.append(job)
             self._cv.notify_all()
         return job
@@ -144,8 +173,10 @@ class DeviceQueue:
     def _worker(self) -> None:
         while True:
             with self._cv:
-                while not self._dq:
+                while not self._dq and not self._closed:
                     self._cv.wait()
+                if self._closed:
+                    return
                 batch = [self._dq.popleft()]
                 while (self._dq and len(batch) < self.batch_max
                        and self._compatible(self._dq[0], batch[0])):
@@ -215,11 +246,14 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # noqa: D102
         pass
 
-    def _json(self, code: int, payload: dict) -> None:
+    def _json(self, code: int, payload: dict,
+              headers: dict | None = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -313,13 +347,7 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
                 c2w, factor=factor, keys=keys,
                 timeout=self.server.request_timeout)
         except QueueFullError as e:
-            self.send_response(503)
-            self.send_header("Retry-After", "1")
-            body = json.dumps({"error": str(e)}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._json(503, {"error": str(e)}, headers={"Retry-After": "1"})
             return
         except RenderTimeoutError as e:
             self._json(504, {"error": str(e)})
@@ -389,10 +417,23 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
             wave = max(q.batch_max, 2)
             frame_list = []
             for start in range(0, poses.shape[0], wave):
-                jobs = [q.submit_async(p[:3, :4], factor, ("rgb",),
-                                       block=True, timeout=deadline)
-                        for p in poses[start:start + wave]]
-                frame_list.extend(q.wait(j, deadline)["rgb"] for j in jobs)
+                jobs = []
+                try:
+                    for p in poses[start:start + wave]:
+                        jobs.append(q.submit_async(p[:3, :4], factor,
+                                                   ("rgb",), block=True,
+                                                   timeout=deadline))
+                    frame_list.extend(q.wait(j, deadline)["rgb"]
+                                      for j in jobs)
+                except BaseException:
+                    # This client gets its error response; every job of
+                    # the wave not yet served must not keep costing
+                    # device time (seconds of 400x400 work per frame) or
+                    # queue slots — mark them abandoned so the worker
+                    # skips them.
+                    for j in jobs:
+                        j["abandoned"] = True
+                    raise
             frames = np.stack(frame_list, 0)
             with tempfile.TemporaryDirectory() as td:
                 path = os.path.join(td, "out.mp4")
@@ -419,12 +460,28 @@ class NerfRequestHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
+class NerfHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer whose ``server_close`` also stops the device
+    queue's worker thread — without it every server built in-process
+    (test suites, notebook reloads) leaks a live thread pinning the
+    renderer."""
+
+    def server_close(self):  # noqa: D102 — see class docstring
+        super().server_close()
+        q = getattr(self, "device_queue", None)
+        if q is not None:
+            q.close()
+
+
 def make_server(renderer: NerfRenderer, host: str = "127.0.0.1",
                 port: int = 8000, queue_size: int = 64,
                 batch_max: int = 8, request_timeout: float = 300.0,
                 video_timeout: float = 1800.0) -> ThreadingHTTPServer:
-    """Build (but do not start) the HTTP server around a loaded renderer."""
-    srv = ThreadingHTTPServer((host, port), NerfRequestHandler)
+    """Build (but do not start) the HTTP server around a loaded renderer.
+
+    Call ``srv.server_close()`` when done (after ``shutdown()``) — it
+    also stops the device-queue worker thread."""
+    srv = NerfHTTPServer((host, port), NerfRequestHandler)
     srv.renderer = renderer
     srv.device_queue = DeviceQueue(renderer, maxsize=queue_size,
                                    batch_max=batch_max)
@@ -607,6 +664,8 @@ def main(argv=None):
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+    finally:
+        srv.server_close()
 
 
 if __name__ == "__main__":

@@ -167,6 +167,7 @@ def main():
             < sorted(video_lat)[len(video_lat) // 2]),
     }
     srv.shutdown()
+    srv.server_close()
     print(json.dumps(result, indent=2))
     print(json.dumps(result))
 

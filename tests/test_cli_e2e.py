@@ -291,6 +291,7 @@ def test_train_then_serve_from_run_dir(blender_dir, tmp_path):
         np.testing.assert_allclose(served, direct, atol=1e-5)
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_track_best_checkpoint_and_metrics(blender_dir, tmp_path, capsys):

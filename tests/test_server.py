@@ -36,6 +36,7 @@ def server_url(tmp_path_factory):
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
+    srv.server_close()
 
 
 def _post(url, payload):
@@ -453,6 +454,7 @@ def test_server_with_occupancy(tmp_path):
         assert rgb.shape == (10, 10, 3) and np.isfinite(rgb).all()
     finally:
         srv.shutdown()
+        srv.server_close()
 
     from cvnerf_tpu.server import build_parser
     args = build_parser().parse_args(["--ckpt", d, "--occupancy", "full"])

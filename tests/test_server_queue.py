@@ -126,10 +126,17 @@ def test_render_interleaves_with_video(tmp_path):
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{srv.server_address[1]}"
     try:
-        # warm up the compiled programs (single-frame and batch-of-2)
+        # warm up the compiled programs (single-frame and batch-of-2);
+        # 501 = no mp4 encoder on this host — frames still rendered,
+        # which is all the warm-up needs (same tolerance as the video
+        # client below and scripts/serve_load_test.py)
         _post(url + "/render", {"c2w": POSE}).read()
-        _post(url + "/render_video",
-              {"poses": [POSE, POSE], "fps": 5})
+        try:
+            _post(url + "/render_video",
+                  {"poses": [POSE, POSE], "fps": 5})
+        except urllib.error.HTTPError as e:
+            if e.code != 501:
+                raise
 
         n_video = 24
         video_done = {}
@@ -164,3 +171,64 @@ def test_render_interleaves_with_video(tmp_path):
         assert "queue_depth" in health and health["queue_size"] == 64
     finally:
         srv.shutdown()
+        srv.server_close()
+
+
+def test_blocked_submit_honors_absolute_deadline(tmp_path):
+    """submit_async(block=True, timeout=T) must give up ~T after the CALL,
+    not T after the last wakeup — under contention every freed slot wakes
+    all blocked senders and a re-armed relative wait never expires."""
+    from cvnerf_tpu.server import RenderTimeoutError
+    r = _renderer(tmp_path)
+    gate = threading.Event()
+    real = r.render_pose_extras
+    r.render_pose_extras = lambda *a, **k: (gate.wait(30), real(*a, **k))[1]
+    q = DeviceQueue(r, maxsize=1, batch_max=1)
+    try:
+        q.submit_async(POSE, 0, ("rgb",))      # worker blocks on this
+        time.sleep(0.2)
+        q.submit_async(POSE, 0, ("rgb",))      # fills the queue
+        # Churn the condition variable from another thread so the blocked
+        # sender keeps waking: the deadline must still hold.
+        stop = threading.Event()
+
+        def churn():
+            while not stop.is_set():
+                with q._cv:
+                    q._cv.notify_all()
+                time.sleep(0.05)
+
+        t = threading.Thread(target=churn, daemon=True)
+        t.start()
+        t0 = time.time()
+        with pytest.raises(RenderTimeoutError):
+            q.submit_async(POSE, 0, ("rgb",), block=True, timeout=0.6)
+        elapsed = time.time() - t0
+        stop.set()
+        assert elapsed < 5.0, f"deadline not honored: {elapsed:.1f}s"
+    finally:
+        gate.set()
+        q.close()
+
+
+def test_queue_close_unblocks_and_stops_worker(tmp_path):
+    """close() fails queued jobs (no waiter hangs), rejects new submits,
+    and joins the worker thread — servers built repeatedly must not leak
+    threads pinning renderers."""
+    from cvnerf_tpu.server import RenderTimeoutError
+    r = _renderer(tmp_path)
+    gate = threading.Event()
+    real = r.render_pose_extras
+    r.render_pose_extras = lambda *a, **k: (gate.wait(30), real(*a, **k))[1]
+    q = DeviceQueue(r, maxsize=4, batch_max=1)
+    q.submit_async(POSE, 0, ("rgb",))          # worker blocks on this
+    time.sleep(0.2)
+    j2 = q.submit_async(POSE, 0, ("rgb",))     # still queued
+    q.close(join_timeout=0.1)                  # worker busy: don't wait
+    with pytest.raises(RenderTimeoutError, match="closed"):
+        q.wait(j2, timeout=5)
+    with pytest.raises(RenderTimeoutError, match="closed"):
+        q.submit_async(POSE, 0, ("rgb",))
+    gate.set()                                 # release the worker
+    q._worker_thread.join(10)
+    assert not q._worker_thread.is_alive()
