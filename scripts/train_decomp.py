@@ -57,6 +57,10 @@ def main():
                     help="lax.scan block length (device time per call "
                          "must dominate the ~87 ms tunnel round-trip)")
     ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--mesh", action="store_true",
+                    help="build the steps under the 1-device shard_map "
+                         "(floor study; INVALID for stage shares — see "
+                         "the mesh comment below)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run: harness check only")
     ap.add_argument("--json_out", default=None)
@@ -107,7 +111,16 @@ def main():
                         noise_std=0.0, white_bkg=True, compute_dtype=dtype)
     cfg = TrainConfig(height=H, width=W, focal=focal, near=2.0, far=6.0,
                       n_rays=n_rays, lr=5e-4, lr_decay=500, render=rcfg)
-    mesh = make_mesh()
+    # Mesh-free by default: stage ablation under the 1-device shard_map is
+    # methodologically INVALID on this runtime — a degenerate (ablated)
+    # scan body floors at ~8.6-8.8 ms/step under the mesh regardless of
+    # which stage remains (even with EVERY stage faked), while meshless it
+    # runs at its true ~0.45 ms; real production programs are unaffected
+    # (mesh_full 8.695 vs nomesh_full 8.678 ms; the occ step measures its
+    # true 5.3 ms WITH the mesh). Measured: scripts/scan_overhead_probe.py
+    # + the fake-all bisect (ROADMAP round 4). --mesh restores the sharded
+    # build for floor studies.
+    mesh = make_mesh() if args.mesh else None
     images = jnp.asarray(images)
     poses = jnp.asarray(poses)
     train_idx = jnp.asarray([0, 1], jnp.int32)
