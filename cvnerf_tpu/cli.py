@@ -104,6 +104,11 @@ def main(argv=None):
         # field and were nearest-vertex.
         args.occ_interp = (recorded_occ.get("interp", "nearest")
                            if recorded_occ is not None else "nearest")
+    if args.occ_floor is None:
+        # Stickiness again: a checkpoint keeps the coverage floor it was
+        # trained with (legacy payloads predate the field: floor 0).
+        args.occ_floor = (recorded_occ.get("floor", 0)
+                          if recorded_occ is not None else 0)
     # A re-invocation that omits --occ_train on a run dir whose checkpoints
     # WERE occ-trained (untrained coarse net) must not silently downgrade
     # the serving metadata: the rewritten scene.json would serve those
@@ -144,7 +149,8 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         pallas=args.pallas, sorted_resample=args.sorted_resample,
         occupancy_mode=args.occ_train_mode if args.occ_train else "merge",
-        occupancy_interp=args.occ_interp)
+        occupancy_interp=args.occ_interp,
+        occ_floor=args.occ_floor if args.occ_train else 0)
     rcfg_test = rcfg_train.eval_mode()
     if args.deterministic_resample:
         import dataclasses
@@ -166,7 +172,8 @@ def main(argv=None):
         occ_res=(preserve_occ or {}).get("resolution", args.occupancy_res),
         occ_bound=(preserve_occ or {}).get("bound", args.occupancy_bound),
         occ_mode=(preserve_occ or {}).get("mode", args.occ_train_mode),
-        occ_interp=(preserve_occ or {}).get("interp", args.occ_interp))
+        occ_interp=(preserve_occ or {}).get("interp", args.occ_interp),
+        occ_floor=(preserve_occ or {}).get("floor", args.occ_floor))
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)

@@ -188,6 +188,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "'trilinear' (continuous-in-depth probe CDF) is "
                         "opt-in: measured ~7x probe cost for <=0.06 dB "
                         "(BASELINE.md round-4 matrix)")
+    p.add_argument("--occ_floor", type=int, default=None,
+                   help="full-mode occupancy sampling only: this many of "
+                        "the n_fine resamples come from a stratified "
+                        "coverage draw over [near, far] instead of the "
+                        "probe CDF (same eval count). Guards against the "
+                        "measured full-mode cliff: a stale/quantized grid "
+                        "CDF starves still-moving geometry of samples "
+                        "(BASELINE.md). Unset: the run dir's recorded "
+                        "floor if it has one, else 0 = pure probe-CDF "
+                        "(round-3 behavior)")
     p.add_argument("--occupancy_res", type=int, default=192,
                    help="occupancy lattice resolution per axis")
     p.add_argument("--occupancy_bound", type=float, default=1.5,

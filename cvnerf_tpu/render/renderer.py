@@ -63,6 +63,14 @@ class RenderConfig:
     # 1.64x -> 0.58x — for +0.001 dB (merge) / +0.06 dB (full). Opt-in
     # only. Only active when a grid is passed.
     occupancy_interp: str = "nearest"
+    # Full-mode stratified coverage floor: k of the n_fine resamples are
+    # drawn stratified over the whole [near, far] instead of the probe
+    # CDF (same fine-eval count — n_fine - k CDF draws + k coverage).
+    # Addresses full-mode occ-train's measured real-content cliff
+    # (ROADMAP item 25: the stale/quantized grid CDF starves geometry
+    # that still needs to move of samples). 0 = pure probe-CDF sampling
+    # (round-3 behavior). Only active in occupancy_mode="full".
+    occ_floor: int = 0
     # Early ray termination / empty-space skip (serving-only, needs a
     # grid): tighten each ray's [near, far] by probe-marching the grid —
     # near moves to the first occupied probe, far to where probe
@@ -261,18 +269,28 @@ def render_rays(key: jax.Array,
     # SURVEY.md §2.3-4) ---
     occ_full = (occupancy is not None and cfg.occupancy_mode == "full"
                 and cfg.n_fine > 0)
+    if occ_full and not 0 <= cfg.occ_floor < cfg.n_fine:
+        raise ValueError(
+            f"occ_floor={cfg.occ_floor} must be in [0, n_fine="
+            f"{cfg.n_fine}) — the floor replaces part of the fine "
+            "budget, it does not extend it")
     if cfg.n_fine > 0:
         mids = 0.5 * (t_coarse[..., 1:] + t_coarse[..., :-1])
         presorted = cfg.sorted_resample or cfg.deterministic_resample
+        # Full-mode stratified floor (see below): k of the n_fine budget
+        # come from a coverage draw, so only n_fine - k are CDF resamples
+        # — the fine eval count stays exactly n_fine.
+        n_pdf = (cfg.n_fine - cfg.occ_floor
+                 if (occ_full and cfg.occ_floor > 0) else cfg.n_fine)
         if cfg.deterministic_resample:
             u_pdf = None
         elif cfg.sorted_resample:
             from cvnerf_tpu.ops.rng import ray_sorted_uniform
-            u_pdf = ray_sorted_uniform(key, 2, ray_ids, cfg.n_fine)
+            u_pdf = ray_sorted_uniform(key, 2, ray_ids, n_pdf)
         else:
-            u_pdf = _per_ray_uniform(key, 2, ray_ids, cfg.n_fine)
+            u_pdf = _per_ray_uniform(key, 2, ray_ids, n_pdf)
         t_new = sample_pdf(None, mids, coarse["weights"][..., 1:-1],
-                           cfg.n_fine,
+                           n_pdf,
                            deterministic=cfg.deterministic_resample,
                            u=u_pdf)
         t_new = jax.lax.stop_gradient(t_new)  # reference detaches (main.py:250)
@@ -284,6 +302,26 @@ def render_rays(key: jax.Array,
             # n_coarse + n_fine — half the evals at the reference shape.
             t_fine = (t_new if presorted
                       else jnp.sort(t_new, axis=-1))
+            if cfg.occ_floor > 0:
+                # Stratified coverage floor (round 4): k of the n_fine
+                # samples come from a stratified draw over the FULL
+                # [near, far] instead of the probe CDF — same eval count,
+                # different placement. Root cause this addresses
+                # (ROADMAP item 25, measured): the baked grid's CDF is
+                # stale/dilated/quantized, so geometry that still needs
+                # to move can receive no samples at all under pure
+                # full-mode sampling and training degrades on complex
+                # scenes; the floor guarantees gradient coverage
+                # everywhere on the ray. RNG tag 5 (per-ray, partition-
+                # invariant like every other draw).
+                u_floor = (_per_ray_uniform(key, 5, ray_ids,
+                                            cfg.occ_floor)
+                           if cfg.perturb else None)
+                t_floor = stratified_samples(None, near, far,
+                                             cfg.occ_floor, n_rays,
+                                             cfg.perturb, u=u_floor)
+                from cvnerf_tpu.ops.sampling import merge_sorted
+                t_fine = merge_sorted(t_floor, t_fine)
         elif presorted:
             # u ascending → inverse-CDF output ascending → merge, not sort
             # (reference main.py:251 sort-merge semantics, same result).

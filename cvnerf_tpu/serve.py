@@ -53,7 +53,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          occ_res: int = 192,
                          occ_bound: float = 1.5,
                          occ_mode: str | None = None,
-                         occ_interp: str = "nearest") -> str:
+                         occ_interp: str = "nearest",
+                         occ_floor: int = 0) -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -99,7 +100,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         payload["occ_train"] = {"resolution": int(occ_res),
                                 "bound": float(occ_bound),
                                 "mode": occ_mode,
-                                "interp": occ_interp}
+                                "interp": occ_interp,
+                                "floor": int(occ_floor)}
     with open(path, "w") as fp:
         json.dump(payload, fp, indent=2, sort_keys=True)
     return path
@@ -258,9 +260,11 @@ class NerfRenderer:
                                bound=float(ot["bound"]),
                                mode=ot.get("mode", "full"),
                                # Legacy (pre-round-4) occ_train runs were
-                               # trained with the nearest-vertex probe;
-                               # keep their sampling semantics.
+                               # trained with the nearest-vertex probe and
+                               # no coverage floor; keep their sampling
+                               # semantics.
                                interp=ot.get("interp", "nearest"),
+                               floor=int(ot.get("floor", 0)),
                                require_occupied=True)
         return r
 
@@ -291,6 +295,7 @@ class NerfRenderer:
                          bound: float = 1.5, mode: str = "merge",
                          interp: str = "nearest",
                          term: float = 0.0,
+                         floor: int = 0,
                          n_coarse: int | None = None,
                          n_fine: int | None = None,
                          require_occupied: bool = False) -> "NerfRenderer":
@@ -341,7 +346,7 @@ class NerfRenderer:
         base_c, base_f = self._base_samples
         self.cfg = dataclasses.replace(
             self.cfg, occupancy_mode=mode, occupancy_interp=interp,
-            occupancy_termination=float(term),
+            occupancy_termination=float(term), occ_floor=int(floor),
             n_coarse=base_c if n_coarse is None else int(n_coarse),
             n_fine=base_f if n_fine is None else int(n_fine))
         self.occupancy = grid

@@ -545,6 +545,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="occupancy probe interpolation (trilinear: "
                         "continuous-in-depth probe CDF; nearest: the "
                         "round-3 piecewise-constant probe)")
+    p.add_argument("--occ_floor", type=int, default=0,
+                   help="full-mode serving: this many of the n_fine "
+                        "resamples come from a stratified coverage draw "
+                        "instead of the probe CDF (same eval count; "
+                        "BASELINE.md). 0 = pure probe-CDF")
     p.add_argument("--occ_term", type=float, default=0.0,
                    help="early ray termination / empty-space skip "
                         "epsilon (needs --occupancy): probe-march each "
@@ -639,6 +644,7 @@ def main(argv=None):
                                   mode=args.occupancy,
                                   interp=args.occ_interp,
                                   term=args.occ_term,
+                                  floor=args.occ_floor,
                                   n_coarse=args.serve_coarse,
                                   n_fine=args.serve_fine)
         print(f"occupancy grid active: mode={args.occupancy} "

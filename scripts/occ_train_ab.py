@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--n_rays", type=int, default=1024)
     ap.add_argument("--occ_res", type=int, default=192)
+    ap.add_argument("--floor", type=int, default=0,
+                    help="full-mode stratified coverage floor "
+                         "(RenderConfig.occ_floor)")
     ap.add_argument("--mode", default="full", choices=["full", "merge"],
                     help="--occ_train sampling mode to measure (full: "
                          "n_fine MLP evals/ray; merge: n_coarse+n_fine "
@@ -61,7 +64,8 @@ def main():
     cfg = TrainConfig(
         height=400, width=400, focal=555.0, near=2.0, far=6.0,
         n_rays=args.n_rays, lr=5e-4, lr_decay=500,
-        render=RenderConfig(n_coarse=64, n_fine=128, perturb=True,
+        render=RenderConfig(occ_floor=args.floor,
+                            n_coarse=64, n_fine=128, perturb=True,
                             noise_std=0.0, white_bkg=True, mlp=mlp,
                             compute_dtype=jnp.bfloat16,
                             occupancy_mode=args.mode))

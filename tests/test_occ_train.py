@@ -494,3 +494,130 @@ def test_corrupt_scene_json_tolerated(tmp_path):
               "--chunk", "256", "--print_freq", "5",
               "--vid_freq", "0", "--val_freq", "0",
               "--seed", "1", "--iters", "2", "--ckpt_freq", "0"])
+
+
+def test_occ_floor_mixes_coverage_into_full_mode():
+    """occ_floor=k in full mode: total fine evals stay n_fine, and the
+    captured fine points now include samples OUTSIDE the occupied slab
+    (the coverage contract — pure probe-CDF sampling places essentially
+    all of them inside it)."""
+    import cvnerf_tpu.render.renderer as renderer_mod
+    from cvnerf_tpu.render.occupancy import OccupancyGrid
+    from cvnerf_tpu.render.renderer import render_rays
+
+    res = 16
+    zs = np.linspace(-1.5, 1.5, res, dtype=np.float32)
+    values = np.zeros((res, res, res), np.float32)
+    values[:, :, np.abs(zs - 0.5) < (3.0 / (res - 1))] = 1.0
+    grid = OccupancyGrid(values=jnp.asarray(values),
+                         bbox_min=jnp.full((3,), -1.5),
+                         inv_spacing=jnp.full((3,), (res - 1) / 3.0))
+    state = create_train_state(jax.random.PRNGKey(0), lr=1e-3,
+                               lr_decay=250, mlp=TINY_MLP)
+    n = 64
+    rays_o = jnp.tile(jnp.asarray([0.0, 0.0, 4.0]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (n, 1))
+
+    def run(floor):
+        captured = []
+        orig = renderer_mod._query_mlp
+
+        def capture(params, points, viewdirs, cfg):
+            captured.append(np.asarray(points))
+            return orig(params, points, viewdirs, cfg)
+
+        cfg = RenderConfig(n_coarse=32, n_fine=16, perturb=True,
+                           noise_std=0.0, mlp=TINY_MLP,
+                           occupancy_mode="full", occ_floor=floor)
+        renderer_mod._query_mlp = capture
+        try:
+            render_rays(jax.random.PRNGKey(5), state.params, rays_o,
+                        rays_d, rays_d, jnp.full((n,), 2.0),
+                        jnp.full((n,), 6.0), cfg, occupancy=grid)
+        finally:
+            renderer_mod._query_mlp = orig
+        pts = captured[-1]          # the fine pass (full mode: only pass)
+        assert pts.shape == (n, 16, 3), pts.shape   # eval count unchanged
+        # fraction of fine samples whose depth is outside the slab's
+        # generous envelope (z in [0.5 ± 2 cells] ⇒ t in [3.1, 3.9])
+        t = 4.0 - pts[..., 2]
+        return float(np.mean((t < 3.1) | (t > 3.9)))
+
+    outside_pure = run(0)
+    outside_floor = run(8)
+    assert outside_pure < 0.1, outside_pure      # CDF concentrates
+    # 8 of 16 samples are stratified over t in [2, 6]; the slab envelope
+    # covers 0.8 of 4.0, so ~40% of all samples should fall outside.
+    assert outside_floor > 0.25, outside_floor
+
+
+def test_occ_floor_chunk_invariant_and_validated():
+    from cvnerf_tpu.render.renderer import (RenderConfig as RC,
+                                            render_rays,
+                                            render_rays_chunked)
+    grid = _bake(create_train_state(jax.random.PRNGKey(0), lr=1e-3,
+                                    lr_decay=250, mlp=TINY_MLP).params)
+    state = create_train_state(jax.random.PRNGKey(1), lr=1e-3,
+                               lr_decay=250, mlp=TINY_MLP)
+    n = 16
+    rng = np.random.RandomState(3)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rays_o = jnp.zeros((n, 3))
+    cfg = RC(n_coarse=8, n_fine=8, perturb=True, noise_std=0.0,
+             mlp=TINY_MLP, occupancy_mode="full", occ_floor=4)
+    key = jax.random.PRNGKey(9)
+    full = render_rays(key, state.params, rays_o, rays_d, rays_d,
+                       jnp.full((n,), 0.5), jnp.full((n,), 4.0), cfg,
+                       occupancy=grid)
+    assert np.isfinite(np.asarray(full["rgb"])).all()
+    chunked = render_rays_chunked(key, state.params, rays_o, rays_d,
+                                  rays_d, 0.5, 4.0, cfg, chunk=4,
+                                  occupancy=grid)
+    # Full-mode chunked-vs-unchunked differs by 1 ulp on this fixture
+    # WITH OR WITHOUT the floor (measured: floor=0 gives the same
+    # 5.96e-8 max diff — an XLA fusion-boundary reassociation, not a
+    # per-ray RNG violation), so the floor is held to the same
+    # tolerance as the path it extends.
+    np.testing.assert_allclose(np.asarray(full["rgb"]),
+                               np.asarray(chunked["rgb"]), atol=1e-6)
+    with pytest.raises(ValueError, match="occ_floor"):
+        render_rays(key, state.params, rays_o, rays_d, rays_d,
+                    jnp.full((n,), 0.5), jnp.full((n,), 4.0),
+                    RC(n_coarse=8, n_fine=8, mlp=TINY_MLP,
+                       occupancy_mode="full", occ_floor=8),
+                    occupancy=grid)
+
+
+def test_occ_floor_recorded_and_served(tmp_path):
+    """--occ_floor reaches scene.json and from_run_dir re-applies it;
+    a re-invocation without the flag keeps the recorded floor."""
+    import json
+    from cvnerf_tpu import cli
+    from cvnerf_tpu.serve import NerfRenderer
+    from fixtures import make_blender_dataset
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=2, n_val=1, n_test=1, h=16, w=16)
+    argv = ["--name", "occ", "--base_dir", str(tmp_path / "logs"),
+            "--save_dir", str(tmp_path / "logs"), "--data_dir", d,
+            "--dtype", "blender", "--n_rays", "32",
+            "--n_coarse_samples", "8", "--n_fine_samples", "8",
+            "--trunk_width", "32", "--head_width", "16",
+            "--xyz_freqs", "4", "--dir_freqs", "2", "--no-bf16",
+            "--precrop_iters", "0", "--vid_freq", "0", "--val_freq", "0",
+            "--seed", "1", "--iters", "6", "--ckpt_freq", "4",
+            "--occ_train", "--occ_train_warmup", "2",
+            "--occ_train_every", "3", "--occupancy_res", "8",
+            "--occ_train_mode", "full", "--occ_floor", "2"]
+    cli.main(argv)
+    run_dir = str(tmp_path / "logs" / "occ")
+    with open(run_dir + "/scene.json") as fp:
+        geo = json.load(fp)
+    assert geo["occ_train"]["floor"] == 2
+    r = NerfRenderer.from_run_dir(run_dir)
+    assert r.cfg.occ_floor == 2 or r.occupancy is None  # empty-bake guard
+    # stickiness: re-invoke without --occ_floor → floor survives
+    cli.main(argv[:-2])
+    with open(run_dir + "/scene.json") as fp:
+        geo2 = json.load(fp)
+    assert geo2["occ_train"]["floor"] == 2
