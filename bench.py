@@ -154,8 +154,15 @@ def bench(train_steps: int = 500, warmup: int = 20,
             # probe depths kept, only the coarse MLP saved — the
             # quality-safe configuration, BASELINE.md).
             grid0 = None  # both arms init from PRNGKey(0): one bake serves both
-            for arm, occ_mode in (("occ", "full"), ("occm", "merge")):
-                rcfg_occ = _dc.replace(rcfg, occupancy_mode=occ_mode)
+            # "occf" = full + the round-4 coverage floor (the recommended
+            # speed arm: 1.72x AND above plain quality on every measured
+            # scene at 50k — BASELINE.md "coverage floor").
+            for arm, occ_mode, floor in (("occ", "full", 0),
+                                         ("occm", "merge", 0),
+                                         ("occf", "full",
+                                          max(n_fine // 2, 1))):
+                rcfg_occ = _dc.replace(rcfg, occupancy_mode=occ_mode,
+                                       occ_floor=floor)
                 cfg_occ = _dc.replace(cfg, render=rcfg_occ)
                 state_occ = create_train_state(
                     jax.random.PRNGKey(0), lr=cfg.lr, lr_decay=cfg.lr_decay)
@@ -171,16 +178,18 @@ def bench(train_steps: int = 500, warmup: int = 20,
                   file=_sys.stderr, flush=True)
             trainers.pop("occ", None)
             trainers.pop("occm", None)
+            trainers.pop("occf", None)
 
     steps_for = {"on": train_steps, "off": max(train_steps // 2, 10),
-                 "occ": train_steps, "occm": train_steps}
+                 "occ": train_steps, "occm": train_steps,
+                 "occf": train_steps}
     cursors = {}
     for name, t in list(trainers.items()):     # compile + warm up ALL first
         try:
             t.run(1, warmup + 1)
             sync(t)
         except Exception as e:  # noqa: BLE001
-            if name not in ("occ", "occm"):
+            if name not in ("occ", "occm", "occf"):
                 raise
             import sys as _sys
             print(f"# {name} arm disabled (warmup failed): {e!r}",
@@ -188,14 +197,14 @@ def bench(train_steps: int = 500, warmup: int = 20,
             del trainers[name]
             continue
         cursors[name] = warmup + 1
-    if "occ" in trainers or "occm" in trainers:
+    if any(a in trainers for a in ("occ", "occm", "occf")):
         # Measure with a realistic probe CDF: rebake from the "on" arm's
         # post-warmup params (same shapes as the compile-time grid). A
         # rebake failure keeps the compile-time grid — speed is
         # table-content-independent.
         try:
             grid = bake_occ_grid(tr.state.params)
-            for arm in ("occ", "occm"):
+            for arm in ("occ", "occm", "occf"):
                 if arm in trainers:
                     trainers[arm].set_occupancy(grid)
         except Exception as e:  # noqa: BLE001
@@ -214,7 +223,7 @@ def bench(train_steps: int = 500, warmup: int = 20,
                 out = t.run(cursors[name], cursors[name] + s)
                 sync(t)
             except Exception as e:  # noqa: BLE001
-                if name not in ("occ", "occm"):
+                if name not in ("occ", "occm", "occf"):
                     raise
                 import sys as _sys
                 print(f"# {name} arm disabled (measurement failed): {e!r}",
@@ -345,6 +354,13 @@ def bench(train_steps: int = 500, warmup: int = 20,
                     / median(train_times["occm"]))
             result["train_rays_per_sec_occ_merge"] = round(occm / n_chips, 1)
             result["occ_train_merge_speedup"] = round(occm / train_rays_sec,
+                                                      2)
+        if "occf" in train_times:
+            occf = (steps_for["occf"] * cfg.n_rays
+                    / median(train_times["occf"]))
+            result["train_rays_per_sec_occ_floor"] = round(
+                occf / n_chips, 1)
+            result["occ_train_floor_speedup"] = round(occf / train_rays_sec,
                                                       2)
 
         # Secondary: the reference's *default* batch (n_rays=4096,
