@@ -288,7 +288,8 @@ def test_occ_train_cli_e2e(tmp_path, mode):
     with open(os.path.join(run_dir, "scene.json")) as fp:
         geo = json.load(fp)
     assert geo["occ_train"] == {"resolution": 8, "bound": 1.5,
-                                "mode": mode, "interp": "nearest"}
+                                "mode": mode, "interp": "nearest",
+                                "floor": 0}
 
     r = NerfRenderer.from_run_dir(run_dir, chunk=256)
     assert r.occupancy is not None
