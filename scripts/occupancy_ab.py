@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--frames_per_window", type=int, default=2)
     ap.add_argument("--arms", nargs="*", default=None,
                     help="subset of arms to run (default: all). Known: "
-                         "mlp merge full merge_tri full_tri term "
+                         "mlp merge full full_floor merge_tri full_tri term "
                          "full_term")
     ap.add_argument("--term_eps", type=float, default=1e-3)
     ap.add_argument("--term_coarse", type=int, default=None,
@@ -114,6 +114,9 @@ def main():
                           occupancy_interp="trilinear"),
         "full_tri": dict(occupancy_mode="full",
                          occupancy_interp="trilinear"),
+        "full_floor": dict(occupancy_mode="full",
+                           occupancy_interp="nearest",
+                           occ_floor=max(base_cfg.n_fine // 2, 1)),
         "term": dict(occupancy_mode="merge", occupancy_interp="nearest",
                      occupancy_termination=args.term_eps,
                      n_coarse=tc, n_fine=tf),
@@ -121,6 +124,10 @@ def main():
                           occupancy_interp="nearest",
                           occupancy_termination=args.term_eps,
                           n_fine=tf),
+        "full_floor_term": dict(occupancy_mode="full",
+                                occupancy_interp="nearest",
+                                occupancy_termination=args.term_eps,
+                                occ_floor=max(tf // 2, 1), n_fine=tf),
     }
     ARMS = tuple(args.arms) if args.arms else tuple(ARM_DEFS)
     unknown = set(ARMS) - set(ARM_DEFS)
