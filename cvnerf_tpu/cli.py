@@ -173,10 +173,24 @@ def main(argv=None):
         occ_bound=(preserve_occ or {}).get("bound", args.occupancy_bound),
         occ_mode=(preserve_occ or {}).get("mode", args.occ_train_mode),
         occ_interp=(preserve_occ or {}).get("interp", args.occ_interp),
-        occ_floor=(preserve_occ or {}).get("floor", args.occ_floor))
+        occ_floor=(preserve_occ or {}).get("floor", args.occ_floor),
+        freq_anneal=args.freq_anneal)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
                                lr_decay=args.lr_decay, mlp=mlp)
+
+    def render_params(params, step: int):
+        """Params as the optimizer sees them at ``step``: with
+        ``--freq_anneal`` a mid-anneal model was only ever trained through
+        the step's frequency window — eval/video renders must apply the
+        same window or they read untrained high-band weights at full
+        magnitude. Identity once the anneal horizon has passed (and when
+        the flag is off)."""
+        if args.freq_anneal > 0 and step < args.freq_anneal:
+            from cvnerf_tpu.models.nerf_mlp import anneal_model_params
+            return anneal_model_params(params, mlp,
+                                       step / args.freq_anneal)
+        return params
 
     best_meta_path = os.path.join(run_dir, "best.json")
 
@@ -378,7 +392,7 @@ def main(argv=None):
                 print(f"--render_only on a --track_best run: rendering "
                       f"the best-val model (step {start}); pass "
                       f"--no-track_best for the last checkpoint")
-        params = state.params
+        params = render_params(state.params, start)
         if n_dev > 1:
             from cvnerf_tpu.parallel.mesh import replicated_sharding
             params = jax.device_put(params, replicated_sharding(mesh))
@@ -402,7 +416,7 @@ def main(argv=None):
             from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,
                                                      occupied_fraction)
             occ = bake_scene_occupancy(
-                state.params, mlp, ndc=scene.ndc,
+                render_params(state.params, start), mlp, ndc=scene.ndc,
                 bound=args.occupancy_bound, n_fine=args.n_fine_samples,
                 resolution=args.occupancy_res,
                 compute_dtype=rcfg_test.compute_dtype, pallas=args.pallas,
@@ -428,7 +442,8 @@ def main(argv=None):
                 jax.random.PRNGKey(0), args.int8_calib, scene.poses,
                 scene.height, scene.width, scene.focal, scene.near,
                 scene.far, ndc=scene.ndc, ndc_variant=args.ndc_variant)
-            host = jax.tree.map(np.asarray, state.params)
+            host = jax.tree.map(np.asarray, render_params(state.params,
+                                                          start))
             params = {k: quantize_nerf(host[k], mlp, pts, dirs)
                       for k in host}
             if n_dev > 1:
@@ -462,6 +477,7 @@ def main(argv=None):
         precrop_frac=args.precrop_frac, ndc=scene.ndc,
         ndc_variant=args.ndc_variant, pixel_sampling=args.pixel_sampling,
         noise_decay=args.noise_decay, ray_batching=args.ray_batching,
+        freq_anneal=args.freq_anneal, distortion_loss=args.distortion_loss,
         render=rcfg_train)
     trainer = Trainer(tcfg, state, scene.images, scene.poses,
                       scene.train_idx, seed=args.seed, mesh=mesh,
@@ -487,7 +503,7 @@ def main(argv=None):
             # resume is therefore step-aligned, not bitwise, in occ mode —
             # see docs/DESIGN.md).
             verdict = trainer.maybe_set_occupancy(
-                occ_bake(trainer.state.params))
+                occ_bake(render_params(trainer.state.params, start)))
             if verdict == "postponed":
                 print("occ_train: baked grid is empty at resume — staying "
                       "on reference-semantics training until a rebake "
@@ -566,7 +582,7 @@ def main(argv=None):
         if i < args.occ_train_warmup:
             return
         from cvnerf_tpu.render.occupancy import occupied_fraction
-        grid = occ_bake(tr.state.params)
+        grid = occ_bake(render_params(tr.state.params, i))
         frac = occupied_fraction(grid)
         verdict = tr.maybe_set_occupancy(grid, occupied_frac=frac)
         logger.log(i, occ_verdict=verdict,
@@ -585,12 +601,14 @@ def main(argv=None):
 
     @_non_fatal
     def vid_cb(i, tr, m):
-        frames = spiral_video(i, tr.state.params, occupancy=tr.occupancy)
+        frames = spiral_video(i, render_params(tr.state.params, i),
+                              occupancy=tr.occupancy)
         logger.log_image(i, "spiral_frame0", frames[0])
 
     @_non_fatal
     def val_cb(i, tr, m):
-        v, s, rgb = val_metrics(tr.state.params, occupancy=tr.occupancy)
+        v, s, rgb = val_metrics(render_params(tr.state.params, i),
+                                occupancy=tr.occupancy)
         if v is None:
             return
         logger.log(i, val_psnr=v, val_ssim=s, val_views=len(val_views))
@@ -664,8 +682,9 @@ def main(argv=None):
         # closed unconditionally — a run too short to ever fire val_cb
         # must not leak the manager's background threads.
     if len(test_views):
-        p, s, n, lp = test_eval(trainer.state.params,
-                                occupancy=trainer.occupancy)
+        p, s, n, lp = test_eval(
+            render_params(trainer.state.params, int(trainer.state.step)),
+            occupancy=trainer.occupancy)
         extra = {} if lp is None else {"test_lpips": lp}
         logger.log(int(trainer.state.step), test_psnr=p, test_ssim=s,
                    test_views=n, **extra)
@@ -673,7 +692,8 @@ def main(argv=None):
             # Score the deployable (best-val) model too.
             restored = restore_checkpoint(ckpt_dir + "_best", state)
             if restored is not None:
-                params_best = restored.params
+                params_best = render_params(restored.params,
+                                            int(restored.step))
                 if n_dev > 1:
                     from cvnerf_tpu.parallel.mesh import replicate_to_mesh
                     params_best = replicate_to_mesh(params_best, mesh)

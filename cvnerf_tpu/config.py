@@ -66,6 +66,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "needed early to escape dead-ReLU densities but "
                         "keeps perturbing converged geometry late on "
                         "sparse 360-degree captures")
+    p.add_argument("--freq_anneal", type=int, default=0,
+                   help="coarse-to-fine frequency annealing (FreeNeRF): "
+                        "open the positional-encoding bands linearly over "
+                        "this many steps (0 = full spectrum from step 0, "
+                        "the reference's behavior). Regularizes early "
+                        "geometry on sparse captures; identity once past "
+                        "the horizon. Eval/serving of mid-anneal "
+                        "checkpoints applies the same window "
+                        "automatically")
+    p.add_argument("--distortion_loss", type=float, default=0.0,
+                   help="weight of the mip-NeRF 360 distortion "
+                        "regularizer on the fine pass (0 = off, the "
+                        "reference loss). Pulls each ray's weight mass "
+                        "into one compact cluster — targets floaters on "
+                        "sparse 360-degree captures")
 
     p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)

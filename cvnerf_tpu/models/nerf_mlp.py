@@ -90,6 +90,68 @@ def nerf_param_count(params: dict) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
 
 
+def freq_window(n_freqs: int, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Per-band linear anneal window ``[n_freqs]``: band ``k`` weighs
+    ``clip(alpha - k, 0, 1)`` (FreeNeRF eq. 3 — arXiv:2303.07418). At
+    ``alpha >= n_freqs`` every band is exactly 1.0."""
+    k = jnp.arange(n_freqs, dtype=jnp.float32)
+    return jnp.clip(alpha - k, 0.0, 1.0)
+
+
+def encoding_mask(dim: int, n_freqs: int, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Feature-space anneal mask matching ``freq_encode``'s layout
+    ``[identity(dim) | sin_0(dim) cos_0(dim) | sin_1 cos_1 | ...]``:
+    identity features always pass, band ``k``'s 2*dim sin/cos features are
+    scaled by ``freq_window(n_freqs, alpha)[k]``."""
+    band = jnp.repeat(freq_window(n_freqs, alpha), 2 * dim)
+    return jnp.concatenate([jnp.ones((dim,), jnp.float32), band])
+
+
+def anneal_nerf_params(params: dict, cfg: NerfMLPConfig,
+                       progress: jnp.ndarray | float) -> dict:
+    """Coarse-to-fine frequency annealing as a parameter transform.
+
+    Scaling the encoding-facing *weight rows* of the three layers that
+    consume encoded inputs — ``l1`` (xyz), the ``l6`` skip-concat rows
+    (xyz again, ``apply_nerf`` concatenates ``[xyz_enc, h]``) and the
+    ``l10`` viewdir rows (``[feat, dir_enc]``) — is mathematically
+    identical to masking the encoded features themselves (the mask
+    commutes into the matmul), but needs no change to the encoding path:
+    the fused Pallas kernel packs whatever weights it is given, so the
+    oracle and the kernel anneal identically (equivalence pinned in
+    ``tests/test_anneal.py``).
+
+    ``progress`` in [0, 1] maps to ``alpha = progress * L`` per encoding
+    (xyz and dir anneal on the same normalized schedule, as in FreeNeRF).
+    At ``progress >= 1`` the transform multiplies by exactly 1.0
+    (bitwise identity on IEEE floats). Gradients flow through the scale,
+    so masked bands receive exactly-zero gradient until their window
+    opens — the FreeNeRF training dynamic.
+    """
+    progress = jnp.asarray(progress, jnp.float32)
+    mx = encoding_mask(3, cfg.xyz_freqs, progress * cfg.xyz_freqs)
+    md = encoding_mask(3, cfg.dir_freqs, progress * cfg.dir_freqs)
+    out = dict(params)
+    out["l1"] = {**params["l1"], "w": params["l1"]["w"] * mx[:, None]}
+    w6 = params["l6"]["w"]
+    out["l6"] = {**params["l6"],
+                 "w": jnp.concatenate([w6[: mx.shape[0]] * mx[:, None],
+                                       w6[mx.shape[0]:]], axis=0)}
+    w10 = params["l10"]["w"]
+    n_feat = w10.shape[0] - md.shape[0]
+    out["l10"] = {**params["l10"],
+                  "w": jnp.concatenate([w10[:n_feat],
+                                        w10[n_feat:] * md[:, None]], axis=0)}
+    return out
+
+
+def anneal_model_params(params: dict, cfg: NerfMLPConfig,
+                        progress: jnp.ndarray | float) -> dict:
+    """``anneal_nerf_params`` over a ``{"coarse": ..., "fine": ...}`` tree."""
+    return {name: anneal_nerf_params(net, cfg, progress)
+            for name, net in params.items()}
+
+
 def _dense(params: dict, name: str, x: jnp.ndarray,
            compute_dtype: Any) -> jnp.ndarray:
     w = params[name]["w"].astype(compute_dtype)

@@ -73,3 +73,49 @@ def volume_render(raw_rgba: jnp.ndarray,
         rgb_map = rgb_map + (1.0 - acc[..., None])
 
     return {"rgb": rgb_map, "weights": weights, "acc": acc, "depth": depth}
+
+
+def distortion_loss(weights: jnp.ndarray, t_vals: jnp.ndarray,
+                    near: jnp.ndarray, far: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray mip-NeRF 360 distortion regularizer (arXiv:2111.12077 eq. 15),
+    adapted to point samples.
+
+    Over normalized ray coordinates ``s = (t - near) / (far - near)``:
+
+        L = sum_ij w_i w_j |s_i - s_j| + (1/3) sum_i w_i^2 delta_i
+
+    The pairwise term pulls each ray's weight mass into one compact cluster
+    (floaters and semi-transparent "fog" along the ray are exactly
+    high-spread weight distributions); the self term shrinks each interval's
+    own contribution. Not in the reference — a flag-gated training
+    regularizer (``--distortion_loss``) targeting the sparse-capture
+    floaters documented in the llff_360 band (ROADMAP round-3 item 8).
+
+    The O(n^2) pairwise sum is computed in O(n) with exclusive prefix sums
+    over the (already sorted, ascending) sample axis:
+
+        sum_ij w_i w_j |s_i - s_j| = 2 sum_i w_i (s_i W_i - S_i),
+        W_i = sum_{j<i} w_j,  S_i = sum_{j<i} w_j s_j
+
+    (equivalence vs the brute-force double sum pinned in
+    ``tests/test_anneal.py``).
+
+    Args:
+        weights: ``[..., n_samples]`` compositing weights (NOT detached —
+            the regularizer must shape the density field).
+        t_vals: ``[..., n_samples]`` ascending sample depths.
+        near, far: ``[...]`` per-ray bounds used for normalization.
+    Returns:
+        ``[...]`` per-ray loss.
+    """
+    s = (t_vals - near[..., None]) / (far - near)[..., None]
+    ws = weights * s
+    w_before = jnp.cumsum(weights, axis=-1) - weights   # exclusive prefix
+    ws_before = jnp.cumsum(ws, axis=-1) - ws
+    pairwise = 2.0 * jnp.sum(ws * w_before - weights * ws_before, axis=-1)
+    # Self term: each sample's interval is the gap to its successor (the
+    # terminal sample gets no interval — its 1e10 compositing delta is a
+    # sentinel, not geometry).
+    delta = s[..., 1:] - s[..., :-1]
+    self_term = jnp.sum(weights[..., :-1] ** 2 * delta, axis=-1) / 3.0
+    return pairwise + self_term

@@ -80,6 +80,11 @@ class RenderConfig:
     # higher speed (measured trade in BASELINE.md).
     occupancy_termination: float = 0.0
     termination_probes: int = 128
+    # Also return the fine pass's compositing weights and depths
+    # (``"weights"``/``"t"`` keys). Training-only plumbing for weight-space
+    # regularizers (``TrainConfig.distortion_loss``); off by default so the
+    # eval/chunked path never stacks [n_rays, n_samples] extras.
+    return_weights: bool = False
     mlp: NerfMLPConfig = NerfMLPConfig()
     compute_dtype: Any = jnp.float32
     # MLP execution path: "auto" uses the fused Pallas kernel on TPU and the
@@ -341,13 +346,17 @@ def render_rays(key: jax.Array,
                          noise_std=cfg.noise_std,
                          white_bkg=cfg.white_bkg, noise=noise_f)
 
-    return {
+    out = {
         "rgb": fine["rgb"],
         "rgb_coarse": (fine["rgb"] if occupancy is not None
                        else coarse["rgb"]),
         "acc": fine["acc"],
         "depth": fine["depth"],
     }
+    if cfg.return_weights:
+        out["weights"] = fine["weights"]
+        out["t"] = t_fine
+    return out
 
 
 def render_rays_chunked(key: jax.Array,

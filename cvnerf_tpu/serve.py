@@ -54,7 +54,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          occ_bound: float = 1.5,
                          occ_mode: str | None = None,
                          occ_interp: str = "nearest",
-                         occ_floor: int = 0) -> str:
+                         occ_floor: int = 0,
+                         freq_anneal: int = 0) -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -77,6 +78,12 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         "sorted_resample": bool(sorted_resample), "pallas": pallas,
         "mlp": dataclasses.asdict(mlp),
     }
+    if freq_anneal > 0:
+        # Frequency-annealed training (--freq_anneal): a checkpoint saved
+        # BEFORE the anneal horizon has untrained high-frequency bands that
+        # the loss masked — consumers must render it through the same
+        # window (from_run_dir applies the step-dependent transform).
+        payload["freq_anneal"] = int(freq_anneal)
     if calib_poses is not None:
         cp = np.asarray(calib_poses, np.float32)[:, :3, :4]
         if len(cp) > 64:
@@ -245,6 +252,19 @@ class NerfRenderer:
         r.which = "best" if ckpt.endswith("_best") else "last"
         if geo.get("calib_poses"):
             r.calib_poses = np.asarray(geo["calib_poses"], np.float32)
+        fa = int(geo.get("freq_anneal", 0) or 0)
+        if fa > 0 and r.step < fa:
+            # Mid-anneal checkpoint (e.g. a --track_best best-val model
+            # whose peak fell inside the anneal horizon): the loss only
+            # ever trained it through the step's frequency window, so the
+            # raw high-band weights are untrained init noise — apply the
+            # same window before any rendering or baking.
+            from cvnerf_tpu.models.nerf_mlp import anneal_model_params
+            r.params = anneal_model_params(r.params, r.cfg.mlp, r.step / fa)
+            r._float_params = r.params
+            print(f"serving a mid-anneal checkpoint (step {r.step} < "
+                  f"freq_anneal {fa}): applying the training-time "
+                  f"frequency window")
         if geo.get("occ_train"):
             # The checkpoint was trained with --occ_train: past the warmup
             # switch its coarse net is frozen at warmup quality, so render
