@@ -77,12 +77,16 @@ def main(argv=None):
     # defensively: a corrupt/foreign scene.json (non-dict top level, non-dict
     # occ_train) must fall back like a missing one, not crash at startup.
     recorded_occ = None
+    recorded_fa = None
     try:
         with open(os.path.join(run_dir, "scene.json")) as fp:
             _snap = json.load(fp)
         _ot = _snap.get("occ_train") if isinstance(_snap, dict) else None
         if isinstance(_ot, dict):
             recorded_occ = dict(_ot)
+        if isinstance(_snap, dict) and isinstance(
+                _snap.get("freq_anneal"), (int, float)):
+            recorded_fa = int(_snap["freq_anneal"])
     except (OSError, ValueError):
         pass
     if args.occ_train_mode is None:
@@ -109,6 +113,18 @@ def main(argv=None):
         # trained with (legacy payloads predate the field: floor 0).
         args.occ_floor = (recorded_occ.get("floor", 0)
                           if recorded_occ is not None else 0)
+    if args.freq_anneal is None:
+        # Stickiness (same rule as the occ fields): checkpoints trained
+        # under --freq_anneal were only ever optimized through the step's
+        # frequency window — a re-invocation that omits the flag (resume,
+        # --render_only) must keep rendering them through it AND keep the
+        # horizon recorded in scene.json, or mid-anneal checkpoints would
+        # be read with untrained high-band weights at full magnitude.
+        args.freq_anneal = recorded_fa or 0
+        if recorded_fa:
+            print(f"freq_anneal: using the run dir's recorded anneal "
+                  f"horizon {recorded_fa} (pass --freq_anneal 0 to "
+                  f"override)")
     # A re-invocation that omits --occ_train on a run dir whose checkpoints
     # WERE occ-trained (untrained coarse net) must not silently downgrade
     # the serving metadata: the rewritten scene.json would serve those

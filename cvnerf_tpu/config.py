@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "needed early to escape dead-ReLU densities but "
                         "keeps perturbing converged geometry late on "
                         "sparse 360-degree captures")
-    p.add_argument("--freq_anneal", type=int, default=0,
+    p.add_argument("--freq_anneal", type=int, default=None,
                    help="coarse-to-fine frequency annealing (FreeNeRF): "
                         "open the positional-encoding bands linearly over "
                         "this many steps (0 = full spectrum from step 0, "
@@ -74,7 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "geometry on sparse captures; identity once past "
                         "the horizon. Eval/serving of mid-anneal "
                         "checkpoints applies the same window "
-                        "automatically")
+                        "automatically. Unset on a run dir that recorded "
+                        "an anneal horizon: the recorded value sticks "
+                        "(checkpoint window semantics must not flip on "
+                        "re-invocation); pass 0 to override explicitly")
     p.add_argument("--distortion_loss", type=float, default=0.0,
                    help="weight of the mip-NeRF 360 distortion "
                         "regularizer on the fine pass (0 = off, the "

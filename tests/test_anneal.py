@@ -277,6 +277,52 @@ def test_distortion_loss_step_runs_and_changes_objective():
     assert float(m_dist["mse_fine"]) > 0.0
 
 
+def test_freq_anneal_recorded_sticky_and_served(tmp_path):
+    """--freq_anneal reaches scene.json; from_run_dir applies the window to
+    mid-anneal checkpoints; a re-invocation without the flag (--render_only)
+    keeps the recorded horizon instead of silently rendering/serving the
+    checkpoint with untrained high-band weights at full magnitude."""
+    import json
+
+    from cvnerf_tpu import cli
+    from cvnerf_tpu.serve import NerfRenderer
+    from fixtures import make_blender_dataset
+
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=2, n_val=1, n_test=1, h=16, w=16)
+    argv = ["--name", "fa", "--base_dir", str(tmp_path / "logs"),
+            "--save_dir", str(tmp_path / "logs"), "--data_dir", d,
+            "--dtype", "blender", "--n_rays", "32",
+            "--n_coarse_samples", "8", "--n_fine_samples", "8",
+            "--trunk_width", "32", "--head_width", "16",
+            "--xyz_freqs", "4", "--dir_freqs", "2", "--no-bf16",
+            "--precrop_iters", "0", "--vid_freq", "0", "--val_freq", "0",
+            "--seed", "1", "--iters", "6", "--ckpt_freq", "4",
+            "--freq_anneal", "100"]
+    cli.main(argv)
+    run_dir = str(tmp_path / "logs" / "fa")
+    with open(run_dir + "/scene.json") as fp:
+        geo = json.load(fp)
+    assert geo["freq_anneal"] == 100
+    # Mid-anneal checkpoint (step <= 6 of 100, L=4 -> alpha <= 0.24):
+    # xyz bands 1..3 are closed, so the served l1 rows 9.. must be zero.
+    r = NerfRenderer.from_run_dir(run_dir)
+    assert r.step < 100
+    w1 = np.asarray(r.params["fine"]["l1"]["w"])
+    np.testing.assert_array_equal(w1[9:], 0.0)
+    assert np.any(w1[:3] != 0.0)
+    # Stickiness: --render_only without --freq_anneal keeps the horizon.
+    cli.main(argv[:-2] + ["--render_only"])
+    with open(run_dir + "/scene.json") as fp:
+        geo2 = json.load(fp)
+    assert geo2["freq_anneal"] == 100
+    # An explicit 0 overrides (the escape hatch the help text promises).
+    cli.main(argv[:-2] + ["--render_only", "--freq_anneal", "0"])
+    with open(run_dir + "/scene.json") as fp:
+        geo3 = json.load(fp)
+    assert "freq_anneal" not in geo3
+
+
 def test_return_weights_exposes_fine_pass():
     cfg = RenderConfig(n_coarse=8, n_fine=8, perturb=False, mlp=TINY_MLP,
                        return_weights=True)
