@@ -277,6 +277,33 @@ def test_distortion_loss_step_runs_and_changes_objective():
     assert float(m_dist["mse_fine"]) > 0.0
 
 
+import pytest
+
+
+@pytest.mark.parametrize("mode,floor", [("merge", 0), ("full", 4)])
+def test_regularizers_compose_with_occ_train(mode, floor):
+    """--freq_anneal + --distortion_loss on the occupancy-accelerated step:
+    the distortion term reads the occ path's (probe-sampled) weights/depths
+    and the anneal transform applies to the frozen-coarse tree too."""
+    from cvnerf_tpu.render.occupancy import OccupancyGrid
+
+    images, poses = _scene()
+    idx = jnp.array([0])
+    grid = OccupancyGrid(values=jnp.ones((8, 8, 8), jnp.float32),
+                         bbox_min=jnp.full((3,), -1.5),
+                         inv_spacing=jnp.full((3,), 7 / 3.0))
+    cfg = _cfg(freq_anneal=1000, distortion_loss=0.01,
+               render=RenderConfig(n_coarse=8, n_fine=8, perturb=True,
+                                   noise_std=1.0, mlp=TINY_MLP,
+                                   occupancy_mode=mode, occ_floor=floor))
+    state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
+                               lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+    step = make_train_step(cfg, with_occupancy=True)
+    state, metrics = step(state, grid, jax.random.PRNGKey(1), images,
+                          poses, idx, False)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_freq_anneal_recorded_sticky_and_served(tmp_path):
     """--freq_anneal reaches scene.json; from_run_dir applies the window to
     mid-anneal checkpoints; a re-invocation without the flag (--render_only)
