@@ -27,6 +27,8 @@ CLI:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from cvnerf_tpu.models.nerf_mlp import NerfMLPConfig
@@ -218,6 +220,32 @@ def export_torch_checkpoint(ckpt_dir: str, out_path: str,
     from cvnerf_tpu.train.checkpoint import restore_params
 
     params, got_step = restore_params(ckpt_dir, step=step)
+    # Mid-anneal checkpoints (--freq_anneal): the loss only ever trained
+    # the weights through the step's frequency window, so export the
+    # windowed weights — what every consumer here renders with (serve/eval
+    # apply the same transform via scene.json, which in a run-dir layout
+    # sits next to the checkpoints dir). Foreign layouts / past-horizon
+    # checkpoints export raw weights unchanged.
+    import json
+
+    geo = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(ckpt_dir)),
+                               "scene.json")) as fp:
+            geo = json.load(fp)
+    except (OSError, ValueError):
+        geo = None   # no/corrupt snapshot: plain export
+    fa = geo.get("freq_anneal", 0) if isinstance(geo, dict) else 0
+    if isinstance(fa, (int, float)) and int(fa) > 0 and int(got_step) < fa:
+        # A valid snapshot that claims an anneal horizon must transform or
+        # fail loudly — silently exporting raw weights here would ship
+        # untrained high-band rows at full magnitude.
+        from cvnerf_tpu.models.nerf_mlp import anneal_model_params
+        mlp = NerfMLPConfig(**geo["mlp"])
+        params = anneal_model_params(params, mlp, int(got_step) / int(fa))
+        print(f"exporting a mid-anneal checkpoint (step {got_step} < "
+              f"freq_anneal {int(fa)}): applying the training-time "
+              f"frequency window")
     blob = {"coarse": torch_state_dict_from_params(params["coarse"]),
             "fine": torch_state_dict_from_params(params["fine"]),
             "step": int(got_step)}

@@ -338,6 +338,15 @@ def test_freq_anneal_recorded_sticky_and_served(tmp_path):
     w1 = np.asarray(r.params["fine"]["l1"]["w"])
     np.testing.assert_array_equal(w1[9:], 0.0)
     assert np.any(w1[:3] != 0.0)
+    # Torch export ships the windowed weights too (the raw high-band rows
+    # are untrained init noise a torch consumer could not correct).
+    import torch
+
+    from cvnerf_tpu.utils.convert import export_torch_checkpoint
+    pt = str(tmp_path / "export.pt")
+    export_torch_checkpoint(run_dir + "/checkpoints", pt)
+    sd = torch.load(pt, weights_only=True)["fine"]
+    assert (sd["l1.weight"][:, 9:] == 0).all()   # torch is [out, in]
     # Stickiness: --render_only without --freq_anneal keeps the horizon.
     cli.main(argv[:-2] + ["--render_only"])
     with open(run_dir + "/scene.json") as fp:
