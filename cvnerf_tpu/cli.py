@@ -125,6 +125,17 @@ def main(argv=None):
             print(f"freq_anneal: using the run dir's recorded anneal "
                   f"horizon {recorded_fa} (pass --freq_anneal 0 to "
                   f"override)")
+    elif args.freq_anneal == 0 and recorded_fa:
+        # Explicit 0 on a run dir with a recorded horizon: honored, but
+        # it REWRITES scene.json with the horizon dropped — every later
+        # invocation will then serve mid-anneal checkpoints with
+        # untrained high-band weights at full magnitude, with no record
+        # left that they were anneal-trained. Be loud (ADVICE r4).
+        print(f"WARNING: --freq_anneal 0 drops this run dir's recorded "
+              f"anneal horizon ({recorded_fa}) from scene.json; "
+              f"checkpoints trained mid-anneal will render un-windowed "
+              f"from now on. Re-pass --freq_anneal {recorded_fa} to "
+              f"restore the record.")
     # A re-invocation that omits --occ_train on a run dir whose checkpoints
     # WERE occ-trained (untrained coarse net) must not silently downgrade
     # the serving metadata: the rewritten scene.json would serve those
@@ -494,6 +505,10 @@ def main(argv=None):
         ndc_variant=args.ndc_variant, pixel_sampling=args.pixel_sampling,
         noise_decay=args.noise_decay, ray_batching=args.ray_batching,
         freq_anneal=args.freq_anneal, distortion_loss=args.distortion_loss,
+        distortion_start=args.distortion_start,
+        distortion_ramp=args.distortion_ramp,
+        occlusion_loss=args.occlusion_loss,
+        occlusion_frac=args.occlusion_frac,
         render=rcfg_train)
     trainer = Trainer(tcfg, state, scene.images, scene.poses,
                       scene.train_idx, seed=args.seed, mesh=mesh,

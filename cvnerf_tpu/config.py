@@ -67,12 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "keeps perturbing converged geometry late on "
                         "sparse 360-degree captures")
     p.add_argument("--freq_anneal", type=int, default=None,
-                   help="coarse-to-fine frequency annealing (FreeNeRF): "
-                        "open the positional-encoding bands linearly over "
-                        "this many steps (0 = full spectrum from step 0, "
-                        "the reference's behavior). Regularizes early "
-                        "geometry on sparse captures; identity once past "
-                        "the horizon. Eval/serving of mid-anneal "
+                   help="EXPERIMENTAL — measured a regression on its "
+                        "target scene (llff_360: -0.53 dB @3k, -1.39 dB "
+                        "@50k vs plain; BASELINE.md 'Sparse-capture "
+                        "regularizers'). Coarse-to-fine frequency "
+                        "annealing (FreeNeRF): open the positional-"
+                        "encoding bands linearly over this many steps "
+                        "(0 = full spectrum from step 0, the reference's "
+                        "behavior). Eval/serving of mid-anneal "
                         "checkpoints applies the same window "
                         "automatically. Unset on a run dir that recorded "
                         "an anneal horizon: the recorded value sticks "
@@ -83,7 +85,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "regularizer on the fine pass (0 = off, the "
                         "reference loss). Pulls each ray's weight mass "
                         "into one compact cluster — targets floaters on "
-                        "sparse 360-degree captures")
+                        "sparse 360-degree captures. WARNING: at "
+                        "constant weight from step 0 this collapses "
+                        "sparse-capture training to the empty-scene "
+                        "basin (measured, BASELINE.md); pair it with "
+                        "--distortion_start/--distortion_ramp")
+    p.add_argument("--distortion_start", type=int, default=0,
+                   help="step at which the distortion weight starts "
+                        "ramping from zero (delay past the early-"
+                        "geometry phase; recommended 1000)")
+    p.add_argument("--distortion_ramp", type=int, default=0,
+                   help="number of steps over which the distortion "
+                        "weight ramps linearly from 0 to "
+                        "--distortion_loss after --distortion_start "
+                        "(0 = constant weight; recommended 4000)")
+    p.add_argument("--occlusion_loss", type=float, default=0.0,
+                   help="weight of the FreeNeRF occlusion regularizer "
+                        "(0 = off, the reference loss): penalizes "
+                        "compositing-weight mass in the first "
+                        "--occlusion_frac of each ray's [near, far] "
+                        "range — targets the near-camera floaters that "
+                        "cap sparse 360-degree captures. Unlike "
+                        "--distortion_loss its minimum is an empty NEAR "
+                        "REGION, not an empty ray")
+    p.add_argument("--occlusion_frac", type=float, default=0.2,
+                   help="normalized-depth window of --occlusion_loss")
 
     p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)

@@ -119,3 +119,38 @@ def distortion_loss(weights: jnp.ndarray, t_vals: jnp.ndarray,
     delta = s[..., 1:] - s[..., :-1]
     self_term = jnp.sum(weights[..., :-1] ** 2 * delta, axis=-1) / 3.0
     return pairwise + self_term
+
+
+def occlusion_loss(weights: jnp.ndarray, t_vals: jnp.ndarray,
+                   near: jnp.ndarray, far: jnp.ndarray,
+                   frac: float) -> jnp.ndarray:
+    """Per-ray FreeNeRF occlusion regularizer (arXiv:2303.07418 sec. 3.3),
+    in weight space over a normalized-depth window.
+
+    Penalizes the compositing weight mass that lands within the first
+    ``frac`` of each ray's [near, far] range: near-camera floaters are
+    exactly rays whose weight concentrates right in front of the camera,
+    where a sparse 360-degree capture has no multi-view supervision. The
+    paper's form masks the first M *samples* of raw density; over a
+    PDF-resampled fine pass the sample index is not a depth, so the window
+    is taken in normalized depth ``s = (t - near)/(far - near)`` instead
+    (identical on the stratified coarse grid, well-defined after
+    resampling). Unlike the distortion regularizer, the global minimum is
+    an empty NEAR REGION, not an empty ray — far geometry is unpenalized,
+    so it cannot pull training into the empty-scene basin
+    (BASELINE.md "Sparse-capture regularizers").
+
+    Not in the reference — a flag-gated training regularizer
+    (``--occlusion_loss``) modifying the loss of
+    ``/root/reference/main.py:380-383``.
+
+    Args:
+        weights: ``[..., n_samples]`` compositing weights (not detached).
+        t_vals: ``[..., n_samples]`` ascending sample depths.
+        near, far: ``[...]`` per-ray bounds.
+        frac: window size as a fraction of the ray range (static).
+    Returns:
+        ``[...]`` per-ray loss: total weight inside the window.
+    """
+    s = (t_vals - near[..., None]) / (far - near)[..., None]
+    return jnp.sum(weights * (s < frac).astype(weights.dtype), axis=-1)

@@ -84,7 +84,25 @@ class TrainConfig:
     # Weight of the mip-NeRF 360 distortion regularizer on the fine pass
     # (ops.compositing.distortion_loss); 0 disables (reference loss).
     # Targets floaters / fog on sparse 360-degree captures.
+    # MEASURED (BASELINE.md "Sparse-capture regularizers"): at constant
+    # weight from step 0 the regularizer's empty-ray global minimum wins
+    # before geometry forms and training collapses to the empty-scene
+    # basin (llff_360 @0.01: 9.01 dB vs the 20.56 plain band). Ship it
+    # with the ramp below.
     distortion_loss: float = 0.0
+    # Delay + linear warmup for the distortion weight: the effective
+    # weight is distortion_loss * clip((step - start) / max(ramp, 1),
+    # 0, 1). start=ramp=0 reproduces the (measured-collapsing)
+    # constant-from-0 setting; the shipped recipe delays past the
+    # early-geometry phase (e.g. start 1000, ramp 4000).
+    distortion_start: int = 0
+    distortion_ramp: int = 0
+    # Weight of the FreeNeRF occlusion regularizer on the fine pass
+    # (ops.compositing.occlusion_loss): penalizes compositing-weight mass
+    # in the first occlusion_frac of each ray's [near, far] range —
+    # near-camera floaters on sparse captures. 0 disables.
+    occlusion_loss: float = 0.0
+    occlusion_frac: float = 0.2
     # Cross-image ray batching (flag-gated deviation): each batch samples
     # n_rays (image, pixel) pairs jointly without replacement over the
     # ENTIRE train split, instead of the reference's one-random-image-
@@ -184,14 +202,14 @@ def _build_step_core(cfg: TrainConfig,
                 f"pixels (precrop_frac={cfg.precrop_frac})")
     opt = make_optimizer(cfg.lr, cfg.lr_decay)
     rcfg = cfg.render
-    if cfg.distortion_loss > 0.0:
-        # The regularizer needs the fine pass's weights/depths out of the
-        # renderer; the flag is train-step-local so eval configs derived
+    if cfg.distortion_loss > 0.0 or cfg.occlusion_loss > 0.0:
+        # The regularizers need the fine pass's weights/depths out of the
+        # renderer; the flags are train-step-local so eval configs derived
         # from cfg.render stay lean.
         rcfg = dataclasses.replace(rcfg, return_weights=True)
 
     def loss_fn(params, occupancy, key, rays_o, rays_d, viewdirs, target,
-                ray_ids, noise_scale, anneal):
+                ray_ids, noise_scale, anneal, dist_scale):
         if cfg.freq_anneal > 0:
             # Frequency annealing as a param transform INSIDE the loss:
             # autodiff then yields grad(raw) = window * grad(masked), so
@@ -216,12 +234,19 @@ def _build_step_core(cfg: TrainConfig,
             loss = mse_fine + mse_coarse
         if cfg.distortion_loss > 0.0:
             from cvnerf_tpu.ops.compositing import distortion_loss
-            loss = loss + cfg.distortion_loss * jnp.mean(
+            # dist_scale is the delay+warmup schedule (distortion_start /
+            # distortion_ramp) — constant 1.0 when both are 0.
+            loss = loss + cfg.distortion_loss * dist_scale * jnp.mean(
                 distortion_loss(out["weights"], out["t"], near, far))
+        if cfg.occlusion_loss > 0.0:
+            from cvnerf_tpu.ops.compositing import occlusion_loss
+            loss = loss + cfg.occlusion_loss * jnp.mean(
+                occlusion_loss(out["weights"], out["t"], near, far,
+                               cfg.occlusion_frac))
         return loss, mse_fine
 
     def local_grad(params, occupancy, key, rays_o, rays_d, viewdirs, target,
-                   ray_ids, noise_scale, anneal):
+                   ray_ids, noise_scale, anneal, dist_scale):
         """Per-shard loss/grad, allreduced over the ray axis.
 
         Runs inside shard_map so the Pallas MLP kernel executes per-device
@@ -232,7 +257,7 @@ def _build_step_core(cfg: TrainConfig,
         (loss, mse_fine), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, occupancy, key, rays_o, rays_d,
                                    viewdirs, target, ray_ids, noise_scale,
-                                   anneal)
+                                   anneal, dist_scale)
         if cfg.fused_allreduce:
             # One collective for everything: ravel the grad tree and pack
             # the two scalars onto the end — ~50 all_reduce launches
@@ -304,23 +329,34 @@ def _build_step_core(cfg: TrainConfig,
                 state.step.astype(jnp.float32) / cfg.freq_anneal, 0.0, 1.0)
         else:
             anneal = jnp.float32(1.0)
+        if cfg.distortion_start > 0 or cfg.distortion_ramp > 0:
+            # Delay + linear warmup of the distortion weight; see the
+            # TrainConfig field note (the constant-from-0 setting is a
+            # measured training collapse on sparse captures).
+            dist_scale = jnp.clip(
+                (state.step.astype(jnp.float32) - cfg.distortion_start)
+                / max(cfg.distortion_ramp, 1), 0.0, 1.0)
+        else:
+            dist_scale = jnp.float32(1.0)
 
         if mesh is not None:
             p = PartitionSpec
             sharded = jax.shard_map(
                 local_grad, mesh=mesh,
                 in_specs=(p(), p(), p(), p(RAY_AXIS), p(RAY_AXIS),
-                          p(RAY_AXIS), p(RAY_AXIS), p(RAY_AXIS), p(), p()),
+                          p(RAY_AXIS), p(RAY_AXIS), p(RAY_AXIS), p(), p(),
+                          p()),
                 out_specs=(p(), p(), p()),
                 check_vma=False)
             loss, mse_fine, grads = sharded(
                 state.params, occupancy, k_render, rays_o, rays_d, viewdirs,
-                target, ray_ids, noise_scale, anneal)
+                target, ray_ids, noise_scale, anneal, dist_scale)
         else:
             (loss, mse_fine), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, occupancy, k_render,
                                        rays_o, rays_d, viewdirs, target,
-                                       ray_ids, noise_scale, anneal)
+                                       ray_ids, noise_scale, anneal,
+                                       dist_scale)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         if with_occupancy:
             # The coarse net is off the compute path: its gradients are

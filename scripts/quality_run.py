@@ -55,6 +55,32 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def arm_slug(extra: list[str], defect: str | None = None) -> str:
+    """Artifact-name suffix identifying an experiment arm.
+
+    ``--keep_artifacts`` used to write ``results/{scene}{iters}_*`` keyed
+    only by scene+iters, so an ``--extra`` experiment arm OVERWROTE the
+    committed pinned-band metrics stream of the plain run (VERDICT r4 weak
+    #2: the collapsed ``--distortion_loss`` run clobbered the llff_360
+    bands). Any arm that deviates from the banded configuration (--extra
+    flags or an injected --defect) now lands under its own suffix, so
+    re-running an arm can never touch the pinned plain streams.
+    """
+    tokens = list(extra)
+    if defect:
+        tokens = ["defect", defect] + tokens
+    if not tokens:
+        return ""
+    import re
+    s = "_".join(t.lstrip("-").replace(".", "p") for t in tokens)
+    s = re.sub(r"[^A-Za-z0-9_-]", "", s)
+    if len(s) > 60:
+        import hashlib
+        s = (s[:52] + "_"
+             + hashlib.sha1(" ".join(tokens).encode()).hexdigest()[:7])
+    return "_" + s
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
@@ -368,18 +394,25 @@ def main():
             "measured_db": round(psnr, 2),
             **info,
         }
+        if args.extra:
+            # A band pinned with experiment flags must record them, or a
+            # later plain check run would fail a band it never matched.
+            bands[key]["extra_flags"] = list(args.extra)
         os.makedirs(os.path.dirname(BANDS), exist_ok=True)
         json.dump(bands, open(BANDS, "w"), indent=2, sort_keys=True)
         print(f"PINNED {key}: measured {psnr:.2f} dB, band >= "
               f"{bands[key]['min_test_psnr_db']} dB")
     if args.keep_artifacts:
+        arm = arm_slug(args.extra, args.defect)
         shutil.copy(metrics_path,
-                    os.path.join(REPO, "results", f"{run_name}_metrics.jsonl"))
+                    os.path.join(REPO, "results",
+                                 f"{run_name}{arm}_metrics.jsonl"))
         import glob
         for mp4 in glob.glob(os.path.join(workdir, "logs", run_name,
                                           "*.mp4")):
+            stem, ext = os.path.splitext(os.path.basename(mp4))
             shutil.copy(mp4, os.path.join(REPO, "results",
-                                          os.path.basename(mp4)))
+                                          f"{stem}{arm}{ext}"))
 
     band = bands.get(key)
     if band is None:
@@ -419,7 +452,12 @@ def main():
     status = "PASS" if psnr >= lo else "FAIL"
     print(f"{status} {key}: test PSNR {psnr:.2f} dB vs band >= {lo} dB")
     if psnr < lo:
-        sys.exit(1)
+        # Exit 3 = "run completed, measured BELOW the band" — distinct
+        # from 1 (crash/unhandled exception) so orchestration can tell a
+        # measured refutation from a run that never produced a PSNR
+        # (ADVICE r4: the queue once marked any rc=1 as 'measured', so a
+        # tunnel death mid-run would have been recorded as evidence).
+        sys.exit(3)
 
 
 if __name__ == "__main__":

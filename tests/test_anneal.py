@@ -340,7 +340,10 @@ def test_freq_anneal_recorded_sticky_and_served(tmp_path):
     assert np.any(w1[:3] != 0.0)
     # Torch export ships the windowed weights too (the raw high-band rows
     # are untrained init noise a torch consumer could not correct).
-    import torch
+    # importorskip, not import: on a torch-free environment the main
+    # assertions above must still run as a pass, not an ERROR (repo
+    # convention, tests/test_convert.py).
+    torch = pytest.importorskip("torch")
 
     from cvnerf_tpu.utils.convert import export_torch_checkpoint
     pt = str(tmp_path / "export.pt")
