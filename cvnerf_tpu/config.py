@@ -89,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "constant weight from step 0 this collapses "
                         "sparse-capture training to the empty-scene "
                         "basin (measured, BASELINE.md); pair it with "
-                        "--distortion_start/--distortion_ramp")
+                        "--distortion_start/--distortion_ramp. Even "
+                        "ramped it measured -2.14 dB @3k on llff_360 — "
+                        "experimental, not in any recommended recipe")
     p.add_argument("--distortion_start", type=int, default=0,
                    help="step at which the distortion weight starts "
                         "ramping from zero (delay past the early-"
@@ -100,14 +102,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "--distortion_loss after --distortion_start "
                         "(0 = constant weight; recommended 4000)")
     p.add_argument("--occlusion_loss", type=float, default=0.0,
-                   help="weight of the FreeNeRF occlusion regularizer "
-                        "(0 = off, the reference loss): penalizes "
-                        "compositing-weight mass in the first "
-                        "--occlusion_frac of each ray's [near, far] "
-                        "range — targets the near-camera floaters that "
-                        "cap sparse 360-degree captures. Unlike "
-                        "--distortion_loss its minimum is an empty NEAR "
-                        "REGION, not an empty ray")
+                   help="EXPERIMENTAL — measured a regression on its "
+                        "target scene (llff_360 @3k: -1.05 dB at 0.01, "
+                        "-1.67 at 0.05; BASELINE.md 'Sparse-capture "
+                        "regularizers'). Weight of the FreeNeRF "
+                        "occlusion regularizer (0 = off, the reference "
+                        "loss): penalizes compositing-weight mass in "
+                        "the first --occlusion_frac of each ray's "
+                        "[near, far] range. Unlike --distortion_loss "
+                        "its minimum is an empty NEAR REGION, not an "
+                        "empty ray, so it cannot collapse training")
     p.add_argument("--occlusion_frac", type=float, default=0.2,
                    help="normalized-depth window of --occlusion_loss")
 
