@@ -90,6 +90,37 @@ def test_shipped_configs_parse():
     assert not fast.ray_batching
 
 
+def test_recipe_configs_match_measured_dispositions():
+    """Every BASELINE.md recommended-recipe row ships as a config a user
+    can reproduce with --config alone (VERDICT r4 #6): merge = the
+    quality default (lego_fast), full+floor64 = the dense-scene speed arm
+    (lego_turbo), plain+noise_decay+track_best+merge = the sparse-360
+    disposition (llff_360_sparse). Each is pinned to the measured recipe
+    so a config edit that drifts from the evidence fails here."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(name):
+        return parse_args(["--config", os.path.join(repo, "configs", name)])
+
+    turbo = load("lego_turbo.txt")
+    assert turbo.occ_train and turbo.occ_train_mode == "full"
+    assert turbo.occ_floor == 64          # the cliff guard (BASELINE.md)
+    assert turbo.track_best
+    assert not turbo.ray_batching
+
+    sparse = load("llff_360_sparse.txt")
+    assert sparse.spherify and sparse.no_ndc
+    assert sparse.noise == 1.0 and sparse.noise_decay == 25000
+    assert sparse.track_best and sparse.llffhold == 5
+    assert sparse.occ_train and sparse.occ_train_mode == "merge"
+    assert sparse.occ_floor is None       # floor-64 measured -0.46 here
+    # Levers measured to hurt sparse 360 captures stay off.
+    assert not sparse.ray_batching
+    assert not sparse.freq_anneal         # None or 0
+    assert sparse.distortion_loss == 0.0
+    assert sparse.occlusion_loss == 0.0
+
+
 def test_cli_overrides_config_file(tmp_path):
     cfg = tmp_path / "c.txt"
     cfg.write_text("n_rays = 1024\nlr = 0.001\n")
