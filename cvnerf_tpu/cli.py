@@ -78,6 +78,7 @@ def main(argv=None):
     # occ_train) must fall back like a missing one, not crash at startup.
     recorded_occ = None
     recorded_fa = None
+    recorded_ema = None
     try:
         with open(os.path.join(run_dir, "scene.json")) as fp:
             _snap = json.load(fp)
@@ -87,6 +88,9 @@ def main(argv=None):
         if isinstance(_snap, dict) and isinstance(
                 _snap.get("freq_anneal"), (int, float)):
             recorded_fa = int(_snap["freq_anneal"])
+        if isinstance(_snap, dict) and isinstance(
+                _snap.get("ema_decay"), (int, float)):
+            recorded_ema = float(_snap["ema_decay"])
     except (OSError, ValueError):
         pass
     if args.occ_train_mode is None:
@@ -136,6 +140,19 @@ def main(argv=None):
               f"checkpoints trained mid-anneal will render un-windowed "
               f"from now on. Re-pass --freq_anneal {recorded_fa} to "
               f"restore the record.")
+    if args.ema_decay is None:
+        # Stickiness (same rule as freq_anneal/occ fields): a resumed EMA
+        # run must keep updating the same running average; an unset flag
+        # means "whatever this run dir was doing", never "silently stop".
+        args.ema_decay = recorded_ema or 0.0
+        if recorded_ema:
+            print(f"ema: using the run dir's recorded decay "
+                  f"{recorded_ema} (pass --ema_decay 0 to override)")
+    elif args.ema_decay == 0 and recorded_ema:
+        print(f"WARNING: --ema_decay 0 on a run dir that recorded decay "
+              f"{recorded_ema}: the stored running average is dropped and "
+              f"later checkpoints serve the raw params. Re-pass "
+              f"--ema_decay {recorded_ema} to keep averaging.")
     # A re-invocation that omits --occ_train on a run dir whose checkpoints
     # WERE occ-trained (untrained coarse net) must not silently downgrade
     # the serving metadata: the rewritten scene.json would serve those
@@ -201,10 +218,20 @@ def main(argv=None):
         occ_mode=(preserve_occ or {}).get("mode", args.occ_train_mode),
         occ_interp=(preserve_occ or {}).get("interp", args.occ_interp),
         occ_floor=(preserve_occ or {}).get("floor", args.occ_floor),
-        freq_anneal=args.freq_anneal)
+        freq_anneal=args.freq_anneal, ema_decay=args.ema_decay)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), lr=args.lr,
-                               lr_decay=args.lr_decay, mlp=mlp)
+                               lr_decay=args.lr_decay, mlp=mlp,
+                               ema=args.ema_decay > 0)
+
+    def deploy_params(st):
+        """The deployable weights of a state: the Polyak average when
+        --ema_decay is on (the raw params are the noisy last SGD
+        iterate), else the raw params. Every human-facing render — val,
+        video, test eval, --render_only — reads through this; training
+        internals (the occupancy bake that steers the LIVE sampler) stay
+        on the raw params."""
+        return st.ema_params if st.ema_params is not None else st.params
 
     def render_params(params, step: int):
         """Params as the optimizer sees them at ``step``: with
@@ -419,7 +446,7 @@ def main(argv=None):
                 print(f"--render_only on a --track_best run: rendering "
                       f"the best-val model (step {start}); pass "
                       f"--no-track_best for the last checkpoint")
-        params = render_params(state.params, start)
+        params = render_params(deploy_params(state), start)
         if n_dev > 1:
             from cvnerf_tpu.parallel.mesh import replicated_sharding
             params = jax.device_put(params, replicated_sharding(mesh))
@@ -443,7 +470,7 @@ def main(argv=None):
             from cvnerf_tpu.render.occupancy import (bake_scene_occupancy,
                                                      occupied_fraction)
             occ = bake_scene_occupancy(
-                render_params(state.params, start), mlp, ndc=scene.ndc,
+                render_params(deploy_params(state), start), mlp, ndc=scene.ndc,
                 bound=args.occupancy_bound, n_fine=args.n_fine_samples,
                 resolution=args.occupancy_res,
                 compute_dtype=rcfg_test.compute_dtype, pallas=args.pallas,
@@ -469,8 +496,8 @@ def main(argv=None):
                 jax.random.PRNGKey(0), args.int8_calib, scene.poses,
                 scene.height, scene.width, scene.focal, scene.near,
                 scene.far, ndc=scene.ndc, ndc_variant=args.ndc_variant)
-            host = jax.tree.map(np.asarray, render_params(state.params,
-                                                          start))
+            host = jax.tree.map(np.asarray,
+                                render_params(deploy_params(state), start))
             params = {k: quantize_nerf(host[k], mlp, pts, dirs)
                       for k in host}
             if n_dev > 1:
@@ -509,6 +536,7 @@ def main(argv=None):
         distortion_ramp=args.distortion_ramp,
         occlusion_loss=args.occlusion_loss,
         occlusion_frac=args.occlusion_frac,
+        ema_decay=args.ema_decay,
         render=rcfg_train)
     trainer = Trainer(tcfg, state, scene.images, scene.poses,
                       scene.train_idx, seed=args.seed, mesh=mesh,
@@ -632,13 +660,13 @@ def main(argv=None):
 
     @_non_fatal
     def vid_cb(i, tr, m):
-        frames = spiral_video(i, render_params(tr.state.params, i),
+        frames = spiral_video(i, render_params(deploy_params(tr.state), i),
                               occupancy=tr.occupancy)
         logger.log_image(i, "spiral_frame0", frames[0])
 
     @_non_fatal
     def val_cb(i, tr, m):
-        v, s, rgb = val_metrics(render_params(tr.state.params, i),
+        v, s, rgb = val_metrics(render_params(deploy_params(tr.state), i),
                                 occupancy=tr.occupancy)
         if v is None:
             return
@@ -714,7 +742,8 @@ def main(argv=None):
         # must not leak the manager's background threads.
     if len(test_views):
         p, s, n, lp = test_eval(
-            render_params(trainer.state.params, int(trainer.state.step)),
+            render_params(deploy_params(trainer.state),
+                          int(trainer.state.step)),
             occupancy=trainer.occupancy)
         extra = {} if lp is None else {"test_lpips": lp}
         logger.log(int(trainer.state.step), test_psnr=p, test_ssim=s,
@@ -723,7 +752,7 @@ def main(argv=None):
             # Score the deployable (best-val) model too.
             restored = restore_checkpoint(ckpt_dir + "_best", state)
             if restored is not None:
-                params_best = render_params(restored.params,
+                params_best = render_params(deploy_params(restored),
                                             int(restored.step))
                 if n_dev > 1:
                     from cvnerf_tpu.parallel.mesh import replicate_to_mesh

@@ -55,7 +55,8 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
                          occ_mode: str | None = None,
                          occ_interp: str = "nearest",
                          occ_floor: int = 0,
-                         freq_anneal: int = 0) -> str:
+                         freq_anneal: int = 0,
+                         ema_decay: float = 0.0) -> str:
     """Persist everything a renderer needs to serve this run's checkpoints.
 
     ``config_resolved.json`` records the raw flags; this records the
@@ -78,6 +79,12 @@ def write_scene_snapshot(run_dir: str, *, height: int, width: int,
         "sorted_resample": bool(sorted_resample), "pallas": pallas,
         "mlp": dataclasses.asdict(mlp),
     }
+    if ema_decay > 0:
+        # Polyak-averaged training (--ema_decay): recorded for resume
+        # stickiness (cli.py). Consumers need no special handling — the
+        # checkpoints store the average under 'ema_params' and
+        # restore_params serves it by default.
+        payload["ema_decay"] = float(ema_decay)
     if freq_anneal > 0:
         # Frequency-annealed training (--freq_anneal): a checkpoint saved
         # BEFORE the anneal horizon has untrained high-frequency bands that
@@ -164,12 +171,17 @@ class NerfRenderer:
         self.chunk = chunk
         self._key = jax.random.PRNGKey(seed)
 
-        template = create_train_state(jax.random.PRNGKey(0), mlp=mlp)
+        # Template WITH the EMA slot: on a Polyak-averaged run
+        # (--ema_decay) the deployable model is the stored average; on a
+        # plain checkpoint restore_checkpoint warm-starts the slot at the
+        # raw params, so ema_params is the right weights either way.
+        template = create_train_state(jax.random.PRNGKey(0), mlp=mlp,
+                                      ema=True)
         restored = restore_checkpoint(ckpt_dir, template, step=step)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
         self.step = int(restored.step)
-        self.params = restored.params
+        self.params = restored.ema_params
 
         mesh = make_mesh() if use_mesh else None
         self.mesh = mesh if (mesh is not None

@@ -67,9 +67,14 @@ class Checkpointer:
                     f"whose latest step is {existing}: the newer checkpoint "
                     "would shadow this one at resume time; remove or move "
                     "the stale checkpoint directory")
-        saved = self._mgr.save(step, args=ocp.args.StandardSave(
-            {"params": state.params, "opt_state": state.opt_state,
-             "step": np.asarray(step, np.int32)}))
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": np.asarray(step, np.int32)}
+        if state.ema_params is not None:
+            # EMA runs persist the Polyak average alongside the raw
+            # params: it is the deployable model (restore_params prefers
+            # it) and resume must continue the same running average.
+            payload["ema_params"] = state.ema_params
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(payload))
         if not saved:
             raise RuntimeError(
                 f"orbax skipped the checkpoint save at step {step} in "
@@ -112,12 +117,18 @@ def latest_step(ckpt_dir: str) -> int | None:
 
 
 def restore_params(ckpt_dir: str,
-                   step: int | None = None) -> tuple[dict, int]:
+                   step: int | None = None,
+                   prefer_ema: bool = True) -> tuple[dict, int]:
     """Template-free restore of just the params pytree (plus its step).
 
     For consumers that cannot know the architecture up front (e.g. the
     torch exporter): orbax restores the stored structure as plain arrays.
     Raises FileNotFoundError when the directory holds no checkpoint.
+
+    EMA runs (``--ema_decay``) store the Polyak average under
+    ``ema_params``; it is the deployable model, so every template-free
+    consumer (serving, eval, mesh export, torch export) gets it by
+    default. ``prefer_ema=False`` reads the raw last iterate.
     """
     mgr = _manager(ckpt_dir)
     try:
@@ -126,7 +137,10 @@ def restore_params(ckpt_dir: str,
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
         restored = mgr.restore(step, args=ocp.args.StandardRestore())
-        return restored["params"], int(np.asarray(restored["step"]))
+        params = restored["params"]
+        if prefer_ema and restored.get("ema_params") is not None:
+            params = restored["ema_params"]
+        return params, int(np.asarray(restored["step"]))
     finally:
         mgr.close()
 
@@ -144,13 +158,45 @@ def restore_checkpoint(ckpt_dir: str, template: TrainState,
             step = mgr.latest_step()
         if step is None:
             return None
-        target = {"params": template.params, "opt_state": template.opt_state,
-                  "step": np.asarray(0, np.int32)}
-        restored = mgr.restore(step,
-                               args=ocp.args.StandardRestore(target))
+        base = {"params": template.params, "opt_state": template.opt_state,
+                "step": np.asarray(0, np.int32)}
+        # The stored structure and the template may disagree on the EMA
+        # slot (orbax refuses both directions of the mismatch): a run
+        # resumed with --ema_decay newly ON has pre-EMA checkpoints, and
+        # an explicit --ema_decay 0 resume of an EMA run has the opposite.
+        # A fresh manager exposes no item metadata (handler registry is
+        # restore-time), so probe with the template-shaped target first
+        # and fall back to the other structure on the mismatch error.
+        want_ema = template.ema_params is not None
+        with_ema = dict(base)
+        # Restore through the params template (same tree) even when the
+        # caller is dropping EMA — orbax needs the full stored structure.
+        with_ema["ema_params"] = (template.ema_params if want_ema
+                                  else template.params)
+        first, second = ((with_ema, base) if want_ema else (base, with_ema))
+        try:
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(first))
+            stored_has_ema = want_ema
+        except ValueError:
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(second))
+            stored_has_ema = not want_ema
+        ema = restored.get("ema_params") if want_ema else None
+        if want_ema and not stored_has_ema:
+            # Warm-start the average at the restored params — the same
+            # bias-free init a fresh EMA state uses. Deep copy: aliased
+            # buffers break the donated step program (donate(a), donate(a)).
+            ema = jax.tree.map(jax.numpy.copy, restored["params"])
+        if stored_has_ema and not want_ema:
+            print(f"[WARN] checkpoint at step {step} carries an EMA "
+                  f"average but this invocation disables --ema_decay: "
+                  f"dropping it — later checkpoints will serve the raw "
+                  f"params", flush=True)
         return TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
-            step=jax.numpy.asarray(restored["step"], jax.numpy.int32))
+            step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
+            ema_params=ema)
     finally:
         mgr.close()

@@ -28,6 +28,12 @@ class TrainState:
     params: Any      # {"coarse": pytree, "fine": pytree}
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    # Polyak/EMA average of ``params`` (``--ema_decay``): the deployable
+    # weights of an EMA run — the raw params are the noisy last SGD
+    # iterate. ``None`` when EMA is off, in which case the pytree keeps
+    # the pre-EMA structure (None flattens to zero leaves), so existing
+    # checkpoints, jitted programs, and consumers are unaffected.
+    ema_params: Any = None
 
 
 def make_lr_schedule(lr: float, lr_decay: int) -> optax.Schedule:
@@ -49,8 +55,15 @@ def make_optimizer(lr: float, lr_decay: int) -> optax.GradientTransformation:
 def create_train_state(key: jax.Array,
                        lr: float = 5e-4,
                        lr_decay: int = 250,
-                       mlp: NerfMLPConfig = NerfMLPConfig()) -> TrainState:
-    """Fresh coarse+fine networks and Adam state (reference main.py:127-146)."""
+                       mlp: NerfMLPConfig = NerfMLPConfig(),
+                       ema: bool = False) -> TrainState:
+    """Fresh coarse+fine networks and Adam state (reference main.py:127-146).
+
+    ``ema=True`` allocates the Polyak-average slot initialized AT the
+    fresh params (the standard bias-free warm start: the average then
+    tracks the trajectory from step 0 instead of decaying away from a
+    zero init); pair with ``TrainConfig.ema_decay > 0``.
+    """
     k_c, k_f = jax.random.split(key)
     params = {
         "coarse": init_nerf_params(k_c, mlp),
@@ -61,4 +74,7 @@ def create_train_state(key: jax.Array,
         params=params,
         opt_state=opt.init(params),
         step=jnp.zeros((), jnp.int32),
+        # A deep copy, not an alias: the donated step program would
+        # otherwise see the same buffer twice (donate(a), donate(a)).
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
     )

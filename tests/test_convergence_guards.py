@@ -74,7 +74,8 @@ def _train(steps=STEPS, render_kw=None, occ_warmup=0, **cfg_kw):
                       n_rays=128, lr=5e-3, lr_decay=250,
                       render=RenderConfig(**rkw), **cfg_kw)
     state = create_train_state(jax.random.PRNGKey(0), lr=cfg.lr,
-                               lr_decay=cfg.lr_decay, mlp=TINY_MLP)
+                               lr_decay=cfg.lr_decay, mlp=TINY_MLP,
+                               ema=cfg.ema_decay > 0)
     tr = Trainer(cfg, state, images, poses, list(range(len(images))),
                  seed=7)
     if occ_warmup:
@@ -100,6 +101,10 @@ ARMS = {
                                    distortion_start=100,
                                    distortion_ramp=150),
     "occlusion_0.01": dict(occlusion_loss=0.01, occlusion_frac=0.2),
+    # EMA trains on the RAW params — its convergence arm asserts the raw
+    # trajectory is untouched by carrying the average; the average's own
+    # quality is measured on-chip (BASELINE.md).
+    "ema": dict(ema_decay=0.99),
     "freq_anneal": dict(freq_anneal=150),
     "noise_decay": dict(noise_decay=150),
     "ray_batching": dict(ray_batching=True),
