@@ -67,14 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "keeps perturbing converged geometry late on "
                         "sparse 360-degree captures")
     p.add_argument("--freq_anneal", type=int, default=None,
-                   help="EXPERIMENTAL — measured a regression on its "
-                        "target scene (llff_360: -0.53 dB @3k, -1.39 dB "
-                        "@50k vs plain; BASELINE.md 'Sparse-capture "
-                        "regularizers'). Coarse-to-fine frequency "
-                        "annealing (FreeNeRF): open the positional-"
-                        "encoding bands linearly over this many steps "
-                        "(0 = full spectrum from step 0, the reference's "
-                        "behavior). Eval/serving of mid-anneal "
+                   help="coarse-to-fine frequency annealing (FreeNeRF): "
+                        "open the positional-encoding bands linearly "
+                        "over this many steps (0 = full spectrum from "
+                        "step 0, the reference's behavior). KEEP THE "
+                        "HORIZON SHORT — roughly <=10%% of the run: "
+                        "measured on llff_360 @50k, horizon 4000 gains "
+                        "+1.53 dB (22.09 best-val, the largest measured "
+                        "quality lever on sparse 360-degree captures) "
+                        "while horizon 25000 LOSES 1.39 dB (BASELINE.md "
+                        "'Sparse-capture regularizers'). Pair with "
+                        "--track_best: the gain peaks shortly after the "
+                        "horizon. Eval/serving of mid-anneal "
                         "checkpoints applies the same window "
                         "automatically. Unset on a run dir that recorded "
                         "an anneal horizon: the recorded value sticks "
@@ -114,6 +118,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "empty ray, so it cannot collapse training")
     p.add_argument("--occlusion_frac", type=float, default=0.2,
                    help="normalized-depth window of --occlusion_loss")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="Polyak/EMA weight averaging: after every "
+                        "optimizer update ema = ema*decay + "
+                        "params*(1-decay); validation, test eval, "
+                        "--render_only, serving and export then use the "
+                        "average (the deployable model) while training "
+                        "continues on the raw params. 0 = off (the "
+                        "reference serves the raw last iterate). The "
+                        "averaging window is ~1/(1-decay) steps — scale "
+                        "it to the horizon (0.995 at 3k ~ 0.999 at 50k). "
+                        "Unset on a run dir that recorded a decay: the "
+                        "recorded value sticks so resume keeps updating "
+                        "the same running average")
 
     p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)

@@ -112,11 +112,13 @@ def test_recipe_configs_match_measured_dispositions():
     assert sparse.spherify and sparse.no_ndc
     assert sparse.noise == 1.0 and sparse.noise_decay == 25000
     assert sparse.track_best and sparse.llffhold == 5
-    assert sparse.occ_train and sparse.occ_train_mode == "merge"
-    assert sparse.occ_floor is None       # floor-64 measured -0.46 here
-    # Levers measured to hurt sparse 360 captures stay off.
+    # The round-5 breakthrough: short-horizon annealing, +1.53 dB @50k
+    # (the 22.09 recipe, results/onchip/l360_anneal4k_50k.log).
+    assert sparse.freq_anneal == 4000
+    # Levers measured to hurt sparse 360 captures stay off; occ_train is
+    # absent until its composition with the anneal recipe measures >= it.
+    assert not sparse.occ_train
     assert not sparse.ray_batching
-    assert not sparse.freq_anneal         # None or 0
     assert sparse.distortion_loss == 0.0
     assert sparse.occlusion_loss == 0.0
 
