@@ -132,6 +132,11 @@ passed() { grep -qE "^PASS" "$LOGD/$1.log" 2>/dev/null; }
 # highest-value chip time. Both components of each composition measured
 # positive individually; a 50k llff_360 arm costs ~31 min (measured).
 EXP=1 run_item l360_anneal4k_merge_50k 7200 python scripts/quality_run.py --scene llff_360 --iters 50000 --keep_artifacts --extra --freq_anneal 4000 --occ_train
+# The fraction rule's cheap falsifier: 4 data points say the horizon as a
+# FRACTION of the run decides sign (50% bad at both 3k and 50k; 8% good
+# at 50k). A 10%-of-3k horizon tests fraction-invariance at short
+# absolute horizons for ~4 minutes of chip.
+EXP=1 run_item l360_anneal10pct_3k 3600 python scripts/quality_run.py --scene llff_360 --iters 3000 --keep_artifacts --extra --freq_anneal 300
 EXP=1 run_item l360_ema_3k    3600 python scripts/quality_run.py --scene llff_360 --iters 3000 --keep_artifacts --extra --ema_decay 0.995
 EXP=1 run_item shi_ema_3k     3600 python scripts/quality_run.py --scene sphere_hi --iters 3000 --keep_artifacts --extra --ema_decay 0.995
 EXP=1 run_item reflego_ema_3k 3600 python scripts/quality_run.py --scene ref_lego --iters 3000 --keep_artifacts --extra --ema_decay 0.995
