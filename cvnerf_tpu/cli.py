@@ -117,6 +117,13 @@ def main(argv=None):
         # trained with (legacy payloads predate the field: floor 0).
         args.occ_floor = (recorded_occ.get("floor", 0)
                           if recorded_occ is not None else 0)
+    if args.freq_anneal is not None:
+        from cvnerf_tpu.config import resolve_freq_anneal
+        fa_given = args.freq_anneal
+        args.freq_anneal = resolve_freq_anneal(fa_given, args.iters)
+        if 0 < fa_given < 1:
+            print(f"freq_anneal: fractional horizon {fa_given} resolved "
+                  f"to {args.freq_anneal} steps ({args.iters} iters)")
     if args.freq_anneal is None:
         # Stickiness (same rule as the occ fields): checkpoints trained
         # under --freq_anneal were only ever optimized through the step's

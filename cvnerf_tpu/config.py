@@ -66,11 +66,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "needed early to escape dead-ReLU densities but "
                         "keeps perturbing converged geometry late on "
                         "sparse 360-degree captures")
-    p.add_argument("--freq_anneal", type=int, default=None,
+    p.add_argument("--freq_anneal", type=float, default=None,
                    help="coarse-to-fine frequency annealing (FreeNeRF): "
                         "open the positional-encoding bands linearly "
-                        "over this many steps (0 = full spectrum from "
-                        "step 0, the reference's behavior). KEEP THE "
+                        "over this horizon — a value >= 1 is a step "
+                        "count, a value in (0, 1) is a FRACTION of "
+                        "--iters (the scale-invariant form of the "
+                        "measured rule; 0.08 reproduces the 22.09 dB "
+                        "run at any horizon). 0 = full spectrum from "
+                        "step 0, the reference's behavior. KEEP THE "
                         "HORIZON SHORT — roughly <=10%% of the run: "
                         "measured on llff_360 @50k, horizon 4000 gains "
                         "+1.53 dB (22.09 best-val, the largest measured "
@@ -133,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the same running average")
 
     p.add_argument("--render_only", action=argparse.BooleanOptionalAction, default=False)
+    # (fractional --freq_anneal values are resolved to a step count by
+    # resolve_freq_anneal below, applied in cli.main before the config
+    # snapshot so scene.json always records concrete steps)
     p.add_argument("--render_test", action=argparse.BooleanOptionalAction, default=False)
     p.add_argument("--render_factor", type=int, default=0)
     p.add_argument("--render_depth", action=argparse.BooleanOptionalAction, default=False,
@@ -381,6 +388,24 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     else:
         args = parser.parse_args(argv)
     return args
+
+
+def resolve_freq_anneal(value: float | None, iters: int) -> int | None:
+    """Resolve the ``--freq_anneal`` flag to a concrete step count.
+
+    A value in (0, 1) is a FRACTION of the run — the scale-invariant form
+    of the measured horizon rule (a ~8%-of-the-run horizon gains +1.53 dB
+    on llff_360 where a 50% horizon loses 1.39; BASELINE.md
+    "Sparse-capture regularizers"). A value >= 1 is a step count. None
+    passes through (run-dir stickiness is resolved later, in cli.main).
+    Everything downstream (the static TrainConfig field, the scene.json
+    serving window, the torch exporter) sees concrete integer steps.
+    """
+    if value is None:
+        return None
+    if 0 < value < 1:
+        return max(1, round(value * iters))
+    return int(value)
 
 
 def snapshot_config(args: argparse.Namespace, run_dir: str) -> str:

@@ -376,3 +376,47 @@ def test_return_weights_exposes_fine_pass():
     assert out["t"].shape == (n, 16)
     # Depths ascend (the distortion loss's O(n) form requires it).
     assert np.all(np.diff(np.asarray(out["t"]), axis=-1) >= 0)
+
+
+def test_resolve_freq_anneal_fractional():
+    """The fractional --freq_anneal form (the scale-invariant horizon
+    rule): (0,1) = fraction of --iters, >=1 = literal steps, None passes
+    through for run-dir stickiness resolution."""
+    from cvnerf_tpu.config import resolve_freq_anneal
+    assert resolve_freq_anneal(None, 50000) is None
+    assert resolve_freq_anneal(0, 50000) == 0
+    assert resolve_freq_anneal(0.08, 50000) == 4000
+    assert resolve_freq_anneal(0.08, 3000) == 240
+    assert resolve_freq_anneal(0.5, 3000) == 1500
+    assert resolve_freq_anneal(4000, 50000) == 4000
+    assert resolve_freq_anneal(4000.0, 50000) == 4000
+    assert isinstance(resolve_freq_anneal(4000.0, 50000), int)
+    # Tiny fractions still open the spectrum over at least one step.
+    assert resolve_freq_anneal(1e-9, 3000) == 1
+
+
+def test_fractional_horizon_resolves_through_cli(tmp_path):
+    """`--freq_anneal 0.5` at --iters 6 records a concrete 3-step horizon
+    in scene.json (consumers never see a fraction), and the config
+    snapshot records the resolved value for reproducibility."""
+    import json
+
+    from cvnerf_tpu import cli
+    from fixtures import make_blender_dataset
+
+    d = str(tmp_path / "scene")
+    make_blender_dataset(d, n_train=2, n_val=1, n_test=1, h=16, w=16)
+    cli.main(["--name", "fafrac", "--base_dir", str(tmp_path / "logs"),
+              "--save_dir", str(tmp_path / "logs"), "--data_dir", d,
+              "--dtype", "blender", "--n_rays", "32",
+              "--n_coarse_samples", "8", "--n_fine_samples", "8",
+              "--trunk_width", "32", "--head_width", "16",
+              "--xyz_freqs", "4", "--dir_freqs", "2", "--no-bf16",
+              "--precrop_iters", "0", "--vid_freq", "0", "--val_freq", "0",
+              "--seed", "1", "--iters", "6", "--ckpt_freq", "0",
+              "--freq_anneal", "0.5"])
+    run_dir = str(tmp_path / "logs" / "fafrac")
+    with open(run_dir + "/scene.json") as fp:
+        assert json.load(fp)["freq_anneal"] == 3
+    with open(run_dir + "/config_resolved.json") as fp:
+        assert json.load(fp)["freq_anneal"] == 3

@@ -113,8 +113,12 @@ def test_recipe_configs_match_measured_dispositions():
     assert sparse.noise == 1.0 and sparse.noise_decay == 25000
     assert sparse.track_best and sparse.llffhold == 5
     # The round-5 breakthrough: short-horizon annealing, +1.53 dB @50k
-    # (the 22.09 recipe, results/onchip/l360_anneal4k_50k.log).
-    assert sparse.freq_anneal == 4000
+    # (the 22.09 recipe, results/onchip/l360_anneal4k_50k.log) — in the
+    # scale-invariant fractional form; at the measured 50k horizon it
+    # resolves to the measured 4000 steps.
+    from cvnerf_tpu.config import resolve_freq_anneal
+    assert sparse.freq_anneal == 0.08
+    assert resolve_freq_anneal(sparse.freq_anneal, 50000) == 4000
     # Levers measured to hurt sparse 360 captures stay off; occ_train is
     # absent until its composition with the anneal recipe measures >= it.
     assert not sparse.occ_train
