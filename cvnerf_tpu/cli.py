@@ -85,11 +85,14 @@ def main(argv=None):
         _ot = _snap.get("occ_train") if isinstance(_snap, dict) else None
         if isinstance(_ot, dict):
             recorded_occ = dict(_ot)
-        if isinstance(_snap, dict) and isinstance(
-                _snap.get("freq_anneal"), (int, float)):
+        def _num(v):
+            # JSON true/false pass isinstance(..., int) — a corrupt
+            # boolean must fall back like a missing key, not flow into
+            # numeric paths (the defensive-read contract above).
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        if isinstance(_snap, dict) and _num(_snap.get("freq_anneal")):
             recorded_fa = int(_snap["freq_anneal"])
-        if isinstance(_snap, dict) and isinstance(
-                _snap.get("ema_decay"), (int, float)):
+        if isinstance(_snap, dict) and _num(_snap.get("ema_decay")):
             recorded_ema = float(_snap["ema_decay"])
     except (OSError, ValueError):
         pass
@@ -122,8 +125,25 @@ def main(argv=None):
         fa_given = args.freq_anneal
         args.freq_anneal = resolve_freq_anneal(fa_given, args.iters)
         if 0 < fa_given < 1:
-            print(f"freq_anneal: fractional horizon {fa_given} resolved "
-                  f"to {args.freq_anneal} steps ({args.iters} iters)")
+            if recorded_fa and args.freq_anneal != recorded_fa:
+                # A fraction re-resolved against a DIFFERENT --iters on a
+                # run dir with a recorded horizon (e.g. the same config
+                # re-invoked with --iters raised, or --render_only at the
+                # default iters): the user stated the rule, not a new
+                # horizon — rewriting scene.json would mis-window every
+                # existing checkpoint (a best-val model past the old
+                # horizon would render through a partial window, masking
+                # trained high bands). The recorded horizon sticks.
+                print(f"freq_anneal: fractional horizon {fa_given} would "
+                      f"resolve to {args.freq_anneal} at --iters "
+                      f"{args.iters}, but this run dir recorded "
+                      f"{recorded_fa} — keeping the recorded horizon "
+                      f"(pass an explicit step count to re-window)")
+                args.freq_anneal = recorded_fa
+            else:
+                print(f"freq_anneal: fractional horizon {fa_given} "
+                      f"resolved to {args.freq_anneal} steps "
+                      f"({args.iters} iters)")
     if args.freq_anneal is None:
         # Stickiness (same rule as the occ fields): checkpoints trained
         # under --freq_anneal were only ever optimized through the step's

@@ -178,7 +178,13 @@ def restore_checkpoint(ckpt_dir: str, template: TrainState,
             restored = mgr.restore(step,
                                    args=ocp.args.StandardRestore(first))
             stored_has_ema = want_ema
-        except ValueError:
+        except ValueError as e:
+            if "ema_params" not in str(e):
+                # Some OTHER structure mismatch (wrong architecture,
+                # foreign checkpoint): retrying with the alternate EMA
+                # structure would fail again with a message misdiagnosing
+                # it as an EMA migration — surface the real error.
+                raise
             restored = mgr.restore(step,
                                    args=ocp.args.StandardRestore(second))
             stored_has_ema = not want_ema

@@ -420,3 +420,18 @@ def test_fractional_horizon_resolves_through_cli(tmp_path):
         assert json.load(fp)["freq_anneal"] == 3
     with open(run_dir + "/config_resolved.json") as fp:
         assert json.load(fp)["freq_anneal"] == 3
+    # Re-invoking the same fractional config at a different --iters must
+    # NOT re-window the run dir: 0.5*10 would be 5, but the recorded
+    # 3-step horizon sticks (checkpoints past the old horizon were
+    # trained full-spectrum; a longer window would mask trained bands).
+    cli.main(["--name", "fafrac", "--base_dir", str(tmp_path / "logs"),
+              "--save_dir", str(tmp_path / "logs"), "--data_dir", d,
+              "--dtype", "blender", "--n_rays", "32",
+              "--n_coarse_samples", "8", "--n_fine_samples", "8",
+              "--trunk_width", "32", "--head_width", "16",
+              "--xyz_freqs", "4", "--dir_freqs", "2", "--no-bf16",
+              "--precrop_iters", "0", "--vid_freq", "0", "--val_freq", "0",
+              "--seed", "1", "--iters", "10", "--ckpt_freq", "0",
+              "--freq_anneal", "0.5"])
+    with open(run_dir + "/scene.json") as fp:
+        assert json.load(fp)["freq_anneal"] == 3

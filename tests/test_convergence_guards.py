@@ -126,6 +126,14 @@ def test_occ_train_converges(mode, floor):
     assert psnr >= CONVERGE_FLOOR, (mode, floor, psnr, grad)
 
 
+@functools.lru_cache(maxsize=1)
+def _collapsed_arm():
+    """The constant-from-0 distortion run, trained once per session: two
+    tests assert against it (the collapse itself, and the ramp rescue
+    delta) and a ~40 s CPU training run should not execute twice."""
+    return _train(distortion_loss=0.05)
+
+
 def test_constant_from_zero_distortion_collapses():
     """The failure mode that cost two 50k on-chip runs to discover,
     reproduced in ~40 s of CPU: constant distortion weight from step 0
@@ -135,7 +143,7 @@ def test_constant_from_zero_distortion_collapses():
     if this test ever fails, constant-from-0 distortion has become safe
     and the --distortion_start/--distortion_ramp warnings in config.py /
     MIGRATION.md should be revisited."""
-    psnr, grad = _train(distortion_loss=0.05)
+    psnr, grad = _collapsed_arm()
     assert psnr <= COLLAPSE_CEIL, (psnr, grad)
     # The basin is dead, not slow: gradients have vanished.
     assert grad < 1e-3, (psnr, grad)
@@ -144,7 +152,7 @@ def test_constant_from_zero_distortion_collapses():
 def test_ramp_rescues_the_collapsing_weight():
     """Same weight, shipped recipe: delay+ramp converges where constant
     collapses — the round-5 rescue measured end-to-end."""
-    collapsed, _ = _train(distortion_loss=0.05)
+    collapsed, _ = _collapsed_arm()
     rescued, _ = _train(distortion_loss=0.05, distortion_start=100,
                         distortion_ramp=150)
     assert collapsed <= COLLAPSE_CEIL
