@@ -34,17 +34,19 @@ assert float(np.asarray(x.ravel()[0])) == 256.0
 " >/dev/null 2>&1
 }
 
-wait_for_tunnel() {
-  until probe; do
-    echo "$(date -u +%FT%TZ) tunnel down; sleeping 600" >> "$LOGD/orchestrator.log"
-    sleep 600
-  done
+host_quiet() {
+  ! { [ -f /tmp/suite.pid ] && kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; }
 }
 
-wait_for_quiet_host() {
-  while [ -f /tmp/suite.pid ] && kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; do
-    echo "$(date -u +%FT%TZ) CPU suite running; sleeping 120" >> "$LOGD/orchestrator.log"
-    sleep 120
+wait_ready() {
+  # BOTH guards must hold at the same moment. The primary queue checked
+  # them sequentially (host first, then tunnel) and the tunnel wait can
+  # last hours — long enough for a CPU suite to start meanwhile, which is
+  # exactly how bench_head_r5 started mid-suite on 2026-08-20 (dispatch
+  # starvation skews TPU timings up to ~26x, CLAUDE.md).
+  until host_quiet && probe; do
+    echo "$(date -u +%FT%TZ) waiting (tunnel or CPU suite); sleeping 300" >> "$LOGD/orchestrator.log"
+    sleep 300
   done
 }
 
@@ -81,8 +83,7 @@ run_item() {
   fi
   local attempt rc
   for attempt in 1 2 3; do
-    wait_for_quiet_host
-    wait_for_tunnel
+    wait_ready
     echo "$(date -u +%FT%TZ) START $name (attempt $attempt)" >> "$LOGD/orchestrator.log"
     timeout "$tmo" "$@" > "$LOGD/$name.log" 2>&1
     rc=$?
