@@ -96,6 +96,25 @@ def main(argv=None):
             recorded_ema = float(_snap["ema_decay"])
     except (OSError, ValueError):
         pass
+    # --no_reload starts a FRESH run (existing checkpoints are backed up):
+    # the dir's recorded training metadata must not leak into it. Without
+    # this, a trial run's record silently reshapes the fresh run — e.g. a
+    # 240-step anneal horizon recorded at --iters 3000 would override the
+    # 0.08 fraction's 4000-step resolution on a fresh 50k run, or a plain
+    # baseline rerun would train with the previous run's EMA decay. The
+    # occ record is still read below for the drop/preserve messaging; only
+    # STICKINESS is disabled.
+    sticky_occ = recorded_occ
+    if args.no_reload:
+        if recorded_fa:
+            print(f"freq_anneal: ignoring the run dir's recorded horizon "
+                  f"{recorded_fa} for this fresh (--no_reload) run")
+        if recorded_ema:
+            print(f"ema: ignoring the run dir's recorded decay "
+                  f"{recorded_ema} for this fresh (--no_reload) run")
+        recorded_fa = None
+        recorded_ema = None
+        sticky_occ = None
     if args.occ_train_mode is None:
         # Unset on the CLI/config: honor the mode this run dir was actually
         # trained with before falling back to the shipped default — a
@@ -103,8 +122,8 @@ def main(argv=None):
         # version changed the default. Legacy --occ_train runs predate the
         # mode flag and were implicitly "full" (the same rule
         # serve.NerfRenderer.from_run_dir applies).
-        recorded = (recorded_occ.get("mode", "full")
-                    if recorded_occ is not None else None)
+        recorded = (sticky_occ.get("mode", "full")
+                    if sticky_occ is not None else None)
         args.occ_train_mode = recorded or "merge"
         if recorded and args.occ_train:
             print(f"occ_train: using the run dir's recorded sampling mode "
@@ -113,13 +132,13 @@ def main(argv=None):
         # Same stickiness rule as the mode: a checkpoint keeps the probe it
         # was trained/recorded with. Legacy occ payloads predate the interp
         # field and were nearest-vertex.
-        args.occ_interp = (recorded_occ.get("interp", "nearest")
-                           if recorded_occ is not None else "nearest")
+        args.occ_interp = (sticky_occ.get("interp", "nearest")
+                           if sticky_occ is not None else "nearest")
     if args.occ_floor is None:
         # Stickiness again: a checkpoint keeps the coverage floor it was
         # trained with (legacy payloads predate the field: floor 0).
-        args.occ_floor = (recorded_occ.get("floor", 0)
-                          if recorded_occ is not None else 0)
+        args.occ_floor = (sticky_occ.get("floor", 0)
+                          if sticky_occ is not None else 0)
     if args.freq_anneal is not None:
         from cvnerf_tpu.config import resolve_freq_anneal
         fa_given = args.freq_anneal
@@ -180,6 +199,20 @@ def main(argv=None):
               f"{recorded_ema}: the stored running average is dropped and "
               f"later checkpoints serve the raw params. Re-pass "
               f"--ema_decay {recorded_ema} to keep averaging.")
+    # Validate BEFORE write_scene_snapshot below: an invalid value that is
+    # first recorded sticky and only rejected later (by the Trainer — or
+    # never, under --render_only) would poison every subsequent flagless
+    # invocation of the run dir.
+    if not 0.0 <= args.ema_decay < 1.0:
+        raise SystemExit(f"--ema_decay must be in [0, 1), got "
+                         f"{args.ema_decay}")
+    if args.occlusion_loss > 0 and not 0.0 < args.occlusion_frac < 1.0:
+        raise SystemExit(
+            f"--occlusion_frac must be in (0, 1), got "
+            f"{args.occlusion_frac}: at frac >= 1 the near-window penalty "
+            f"covers the whole ray and becomes the empty-scene objective "
+            f"the distortion regularizer was measured to collapse into "
+            f"(BASELINE.md 'Sparse-capture regularizers')")
     # A re-invocation that omits --occ_train on a run dir whose checkpoints
     # WERE occ-trained (untrained coarse net) must not silently downgrade
     # the serving metadata: the rewritten scene.json would serve those

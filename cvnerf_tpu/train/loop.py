@@ -505,6 +505,26 @@ class Trainer:
             # checkpoints agree on the pytree shape.
             raise ValueError("ema_decay > 0 needs a state with the EMA "
                              "slot — create_train_state(ema=True)")
+        if cfg.ema_decay == 0.0 and state.ema_params is not None:
+            # The converse mismatch is worse because it is SILENT: the
+            # step would pass the stale average through unchanged,
+            # checkpoints would persist it, and restore_params prefers it
+            # — every downstream consumer (serving, eval, export) would
+            # serve frozen step-N-old weights with no warning. Restore
+            # with an EMA-free template (create_train_state(ema=False))
+            # to deliberately drop the average, or set
+            # TrainConfig.ema_decay to keep updating it.
+            raise ValueError("state carries an EMA average but "
+                             "TrainConfig.ema_decay is 0 — the average "
+                             "would freeze silently")
+        if cfg.occlusion_loss > 0.0 and not 0.0 < cfg.occlusion_frac < 1.0:
+            # At frac >= 1 the near-window penalty covers the whole ray:
+            # exactly the empty-scene objective constant-from-0 distortion
+            # was measured to collapse into (BASELINE.md "Sparse-capture
+            # regularizers") — the collapse-proof-by-construction claim
+            # only holds for a proper sub-window.
+            raise ValueError(f"occlusion_frac must be in (0, 1), got "
+                             f"{cfg.occlusion_frac}")
         self.base_key = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(cfg, mesh)
         self.steps_per_call = max(1, steps_per_call)

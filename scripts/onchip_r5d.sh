@@ -23,11 +23,20 @@ MARK=/tmp/onchip
 LOGD=/tmp/onchip/logs
 mkdir -p "$MARK" "$LOGD"
 
-# Seed markers from the repo's synced evidence (survives /tmp wipes).
+# Seed markers AND logs from the repo's synced evidence (survives /tmp
+# wipes). The logs matter as much as the markers: the 50k gates below
+# grep a 3k arm's log for PASS — with only the marker seeded, a
+# previously-PASSed arm would read as below-band and its 50k arms would
+# be skipped with the wrong reason.
 for m in "$REPO"/results/onchip/*.done; do
   [ -f "$m" ] && touch "$MARK/$(basename "$m")"
 done
+cp -n "$REPO"/results/onchip/*.log "$LOGD"/ 2>/dev/null
 
+# Absolute epoch deadline: survives midnight (unlike r5b's
+# minutes-since-midnight form). NOTE: the default is RELATIVE to this
+# launch — a relaunch late in the round must export the ORIGINAL
+# DEADLINE_EPOCH, or the deadline silently extends by another 7 h.
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-$(( $(date +%s) + 7 * 3600 ))}
 
 probe() {

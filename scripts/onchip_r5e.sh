@@ -30,7 +30,11 @@ mkdir -p "$MARK" "$LOGD"
 for m in "$REPO"/results/onchip/*.done; do
   [ -f "$m" ] && touch "$MARK/$(basename "$m")"
 done
+# Logs too: any PASS-gating reads them (see onchip_r5d.sh).
+cp -n "$REPO"/results/onchip/*.log "$LOGD"/ 2>/dev/null
 
+# Relative-to-launch default: a late relaunch must export the ORIGINAL
+# DEADLINE_EPOCH (see onchip_r5d.sh).
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-$(( $(date +%s) + 7 * 3600 ))}
 
 probe() {

@@ -302,6 +302,14 @@ def main():
         if args.pin or args.defect:
             raise SystemExit("--scene all is a check sweep; pin scenes "
                              "and inject defects individually")
+        if args.extra:
+            # The child commands below forward only --scene/--iters: an
+            # --extra arm would run every scene PLAIN while the operator
+            # transcribes the verdicts as evidence for a flag that was
+            # never active (~20 chip-minutes of wrong measurement).
+            raise SystemExit("--scene all runs each scene plain and does "
+                             "not forward --extra; measure experiment "
+                             "arms per scene")
         import subprocess
         failures = []
         from ref_artifact_dataset import REF_MP4, REF_SHIP_MP4

@@ -435,3 +435,19 @@ def test_fractional_horizon_resolves_through_cli(tmp_path):
               "--freq_anneal", "0.5"])
     with open(run_dir + "/scene.json") as fp:
         assert json.load(fp)["freq_anneal"] == 3
+    # --no_reload starts a FRESH run: the recorded 3-step horizon must
+    # NOT override the fraction's resolution against the new --iters
+    # (without this, a trial run's short horizon would silently replace
+    # the measured recipe's window on the real run — e.g. 240 instead of
+    # 4000 on a 50k run, configs/llff_360_sparse.txt).
+    cli.main(["--name", "fafrac", "--base_dir", str(tmp_path / "logs"),
+              "--save_dir", str(tmp_path / "logs"), "--data_dir", d,
+              "--dtype", "blender", "--n_rays", "32",
+              "--n_coarse_samples", "8", "--n_fine_samples", "8",
+              "--trunk_width", "32", "--head_width", "16",
+              "--xyz_freqs", "4", "--dir_freqs", "2", "--no-bf16",
+              "--precrop_iters", "0", "--vid_freq", "0", "--val_freq", "0",
+              "--seed", "1", "--iters", "10", "--ckpt_freq", "0",
+              "--no_reload", "--freq_anneal", "0.5"])
+    with open(run_dir + "/scene.json") as fp:
+        assert json.load(fp)["freq_anneal"] == 5

@@ -215,6 +215,19 @@ def test_trainer_guards():
     cfg_bad, _, _ = _setup(ema_decay=1.0)
     with pytest.raises(ValueError, match="ema_decay"):
         _fresh(cfg_bad, images, poses, ema=True)
+    # The converse mismatch (state CARRIES the average, decay 0) would
+    # silently freeze the average — checkpoints persist it and
+    # restore_params prefers it, so consumers would serve stale weights
+    # forever. Rejected at construction.
+    cfg_off, _, _ = _setup()
+    with pytest.raises(ValueError, match="freeze"):
+        _fresh(cfg_off, images, poses, ema=True)
+    # occlusion_frac >= 1 turns the near-window penalty into the
+    # empty-scene objective (the measured distortion collapse) — the
+    # collapse-proof claim only holds for a proper sub-window.
+    cfg_frac, _, _ = _setup(occlusion_loss=0.01, occlusion_frac=1.0)
+    with pytest.raises(ValueError, match="occlusion_frac"):
+        _fresh(cfg_frac, images, poses, ema=False)
 
 
 def test_cli_records_and_sticks(tmp_path):
@@ -252,3 +265,67 @@ def test_cli_records_and_sticks(tmp_path):
                               np.asarray(raw_10["fine"]["l1"]["w"]))
     assert not np.array_equal(np.asarray(ema_10["fine"]["l1"]["w"]),
                               np.asarray(ema_5["fine"]["l1"]["w"]))
+
+
+def test_cli_no_reload_drops_recorded_decay(tmp_path):
+    """--no_reload starts a FRESH run: the dir's recorded EMA decay must
+    not leak into it (a plain baseline rerun would otherwise silently
+    train with the previous run's averaging)."""
+    from fixtures import make_blender_dataset
+    import main as cli
+
+    scene_dir = str(tmp_path / "scene")
+    make_blender_dataset(scene_dir, n_train=4, n_val=1, n_test=1,
+                         h=24, w=24)
+    logdir = str(tmp_path / "logs")
+    base = ["--data_dir", scene_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "emafresh", "--no-bf16",
+            "--dtype", "blender", "--white_bkg", "--testskip", "1",
+            "--n_rays", "64", "--n_coarse_samples", "8",
+            "--n_fine_samples", "8", "--trunk_width", "32",
+            "--head_width", "16", "--xyz_freqs", "4", "--dir_freqs", "2",
+            "--noise", "1.0", "--val_freq", "0", "--vid_freq", "0"]
+    cli.main(base + ["--iters", "6", "--ckpt_freq", "5",
+                     "--ema_decay", "0.9"])
+    run_dir = os.path.join(logdir, "emafresh")
+    snap = json.load(open(os.path.join(run_dir, "scene.json")))
+    assert snap["ema_decay"] == 0.9
+    # Fresh plain rerun in the same dir: no recorded-decay stickiness.
+    cli.main(base + ["--iters", "6", "--ckpt_freq", "5", "--no_reload"])
+    snap = json.load(open(os.path.join(run_dir, "scene.json")))
+    assert "ema_decay" not in snap or not snap["ema_decay"]
+    raw, step = restore_params(os.path.join(run_dir, "checkpoints"))
+    assert step == 5  # the fresh run's checkpoint, no EMA payload
+    same, _ = restore_params(os.path.join(run_dir, "checkpoints"),
+                             prefer_ema=False)
+    np.testing.assert_array_equal(np.asarray(raw["fine"]["l1"]["w"]),
+                                  np.asarray(same["fine"]["l1"]["w"]))
+
+
+def test_cli_rejects_invalid_decay_before_snapshot(tmp_path):
+    """An out-of-range --ema_decay must die BEFORE scene.json records it:
+    a recorded invalid value would poison every later flagless
+    invocation of the run dir (sticky resolution -> crash loop)."""
+    from fixtures import make_blender_dataset
+    import main as cli
+
+    scene_dir = str(tmp_path / "scene")
+    make_blender_dataset(scene_dir, n_train=2, n_val=1, n_test=1,
+                         h=16, w=16)
+    logdir = str(tmp_path / "logs")
+    base = ["--data_dir", scene_dir, "--base_dir", logdir,
+            "--save_dir", logdir, "--name", "emabad", "--no-bf16",
+            "--dtype", "blender", "--n_rays", "32",
+            "--n_coarse_samples", "4", "--n_fine_samples", "4",
+            "--trunk_width", "32", "--head_width", "16",
+            "--xyz_freqs", "4", "--dir_freqs", "2",
+            "--val_freq", "0", "--vid_freq", "0", "--iters", "4"]
+    with pytest.raises(SystemExit, match="ema_decay"):
+        cli.main(base + ["--ema_decay", "1.0"])
+    assert not os.path.exists(
+        os.path.join(logdir, "emabad", "scene.json"))
+    # Same contract for the occlusion window (frac >= 1 = the measured
+    # empty-scene objective).
+    with pytest.raises(SystemExit, match="occlusion_frac"):
+        cli.main(base + ["--occlusion_loss", "0.01",
+                         "--occlusion_frac", "1.0"])

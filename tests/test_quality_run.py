@@ -48,3 +48,18 @@ def test_slug_is_filename_safe_and_bounded():
     # Long token sets stay distinct via the hash tail.
     other = arm_slug(["--weird/flag=1;rm -rf", "--x", "8" * 200])
     assert slug != other
+
+
+def test_scene_all_rejects_extra(monkeypatch, capsys):
+    """The sweep's child commands forward only --scene/--iters: silently
+    accepting --extra would run every scene PLAIN while the operator
+    transcribes the verdicts as an experiment-arm measurement."""
+    import pytest
+    import quality_run
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["quality_run.py", "--scene", "all", "--iters", "3000",
+         "--extra", "--ema_decay", "0.995"])
+    with pytest.raises(SystemExit, match="extra"):
+        quality_run.main()
