@@ -104,8 +104,13 @@ until grep -q "R5E ITEMS PROCESSED" "$LOGD/orchestrator.log" 2>/dev/null; do
 done
 echo "$(date -u +%FT%TZ) r5f queue starting (deadline epoch $DEADLINE_EPOCH)" >> "$LOGD/orchestrator.log"
 
-EXP=1 run_item reflego_merge_ema_50k 7200 python scripts/quality_run.py --scene ref_lego --iters 50000 --keep_artifacts --extra --occ_train --ema_decay 0.999
-EXP=1 run_item shi_ema_50k           7200 python scripts/quality_run.py --scene sphere_hi --iters 50000 --keep_artifacts --extra --ema_decay 0.999
+# Timeouts are set to the MEASURED arm cost plus slack, not a generous
+# 2 h: deadline_ok gates on start+timeout <= deadline, so an inflated
+# timeout makes the guard skip arms that would in fact finish well
+# before the end-of-round bench (reflego_ema_50k measured 31 min;
+# sphere_hi 50k runs are shorter).
+EXP=1 run_item reflego_merge_ema_50k 3600 python scripts/quality_run.py --scene ref_lego --iters 50000 --keep_artifacts --extra --occ_train --ema_decay 0.999
+EXP=1 run_item shi_ema_50k           3000 python scripts/quality_run.py --scene sphere_hi --iters 50000 --keep_artifacts --extra --ema_decay 0.999
 
 echo "$(date -u +%FT%TZ) R5F ITEMS PROCESSED" >> "$LOGD/orchestrator.log"
 sync_repo
